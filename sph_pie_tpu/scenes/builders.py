@@ -1,0 +1,167 @@
+"""Scene builders: canonical particle layouts + tuned parameters.
+
+The reference drives everything from JSON config + seeded defaults
+(sphereisaiahmin-dev/sph-pie `server/configStore.js:9-42`,
+`config/disciplines.json`); the analogue here is a set of scene builders
+that produce (FluidParams, GridSpec, ParticleState) triples and are also
+reachable from JSON scene files (sph_pie_tpu/scenes/config.py).
+
+BASELINE.json config coverage:
+  #1 2D dam break ~4k (``dam_break_2d``)
+  #2 2D emitter + obstacle (``emitter_2d`` — scenes/emitter.py)
+  #3 3D dam break 100k (``dam_break_3d``)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+from sph_pie_tpu.core import state as state_lib
+from sph_pie_tpu.core.params import FluidParams, make_params
+from sph_pie_tpu.core.state import ParticleState
+from sph_pie_tpu.kernels import smoothing
+from sph_pie_tpu.neighbors import binned as nb
+from sph_pie_tpu.neighbors.grid import GridSpec, grid_from_bounds
+
+
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    name: str
+    params: FluidParams
+    gspec: GridSpec        # naive per-particle cell grid (reference engine)
+    bgrid: nb.BinnedGrid   # dense slot grid (TPU production engine)
+    state: ParticleState
+
+    def binned_state(self) -> nb.BinnedState:
+        return nb.bin_state(self.bgrid, self.state)
+
+
+def lattice_block(lo, hi, dx: float) -> np.ndarray:
+    """Particle positions on a regular lattice filling an AABB, spacing dx.
+
+    First particle sits at lo + dx/2 (cell-centered), so blocks touch
+    boundaries with a half-spacing gap — consistent on both the TPU engine
+    and the CPU oracle.
+    """
+    axes = [np.arange(l + 0.5 * dx, h, dx) for l, h in zip(lo, hi)]
+    mesh = np.meshgrid(*axes, indexing="ij")
+    return np.stack([m.reshape(-1) for m in mesh], axis=-1)
+
+
+def lattice_mass(dim: int, h: float, dx: float, rest_density: float) -> float:
+    """Mass that makes the discrete poly6 density of an infinite lattice
+    exactly rest_density: m = rho0 / sum_lattice W(|offset|).
+
+    Removes the usual SPH rest-density bias at startup so the EOS starts
+    from p ~ 0 instead of a pressure shock.
+    """
+    reach = int(math.ceil(h / dx))
+    w_sum = 0.0
+    for off in itertools.product(range(-reach, reach + 1), repeat=dim):
+        r2 = sum((o * dx) ** 2 for o in off)
+        if r2 < h * h:
+            w_sum += float(smoothing.poly6(dim, h, r2))
+    return rest_density / w_sum
+
+
+def _default_cap(dim: int, h: float, dx: float) -> int:
+    """Per-cell gather capacity: rest occupancy (h/dx)^dim with ~2x headroom,
+    rounded up to a multiple of 8 (VPU sublane friendliness)."""
+    rest = (h / dx) ** dim
+    cap = int(math.ceil(2.0 * rest))
+    return max(8, (cap + 7) // 8 * 8)
+
+
+def block_scene(
+    *,
+    name: str,
+    dim: int,
+    domain,
+    fluid_lo,
+    fluid_hi,
+    dx: float,
+    h_over_dx: float = 2.0,
+    sound_speed: float = 40.0,
+    viscosity: float = 0.05,
+    xsph_eps: float = 0.0,
+    surface_tension: float = 0.0,
+    cfl: float = 0.25,
+    capacity: int | None = None,
+    cap: int | None = None,
+    skin_frac: float = 0.5,
+    dtype=jnp.float32,
+    **param_overrides,
+) -> Scene:
+    """Generic block-of-fluid scene in an AABB domain."""
+    lo, hi = domain
+    h = h_over_dx * dx
+    rest_density = float(param_overrides.pop("rest_density", 1000.0))
+    mass = lattice_mass(dim, h, dx, rest_density)
+    dt = cfl * h / sound_speed
+    params = make_params(
+        dim=dim,
+        h=h,
+        dt=dt,
+        rest_density=rest_density,
+        sound_speed=sound_speed,
+        viscosity=viscosity,
+        xsph_eps=xsph_eps,
+        surface_tension=surface_tension,
+        bound_min=list(lo),
+        bound_max=list(hi),
+        dtype=dtype,
+        **param_overrides,
+    )
+    cap = cap if cap is not None else _default_cap(dim, h, dx)
+    gspec = grid_from_bounds(lo, hi, cell_size=h, cap=cap)
+    cell = h * (1.0 + skin_frac)
+    rest_occ = (cell / dx) ** dim
+    # 2x headroom over rest occupancy: dam-break impact compresses cells well
+    # past rest (1.5x was observed to overflow at 4k/2D on real hardware).
+    bcap = max(8, (int(math.ceil(2.0 * rest_occ)) + 7) // 8 * 8)
+    bgrid = nb.binned_grid_from_bounds(lo, hi, h=h, cap=bcap, skin_frac=skin_frac)
+    pos = lattice_block(fluid_lo, fluid_hi, dx)
+    st = state_lib.from_positions(pos, capacity=capacity, mass=mass, dtype=dtype)
+    return Scene(name=name, params=params, gspec=gspec, bgrid=bgrid, state=st)
+
+
+def dam_break_2d(n_target: int = 4096, dtype=jnp.float32, **overrides) -> Scene:
+    """BASELINE config #1: 2D dam break, ~4k particles, WCSPH.
+
+    Fluid column 0.4 x 0.6 in a unit box; dx solved from the target count.
+    """
+    area = 0.4 * 0.6
+    dx = math.sqrt(area / n_target)
+    return block_scene(
+        name="dam_break_2d",
+        dim=2,
+        domain=([0.0, 0.0], [1.0, 1.0]),
+        fluid_lo=[0.0, 0.0],
+        fluid_hi=[0.4, 0.6],
+        dx=dx,
+        dtype=dtype,
+        **overrides,
+    )
+
+
+def dam_break_3d(n_target: int = 100_000, dtype=jnp.float32, **overrides) -> Scene:
+    """BASELINE config #3: 3D dam break with surface tension, ~100k."""
+    vol = 0.4 * 0.4 * 0.6
+    dx = (vol / n_target) ** (1.0 / 3.0)
+    overrides.setdefault("surface_tension", 0.25)
+    overrides.setdefault("xsph_eps", 0.05)
+    return block_scene(
+        name="dam_break_3d",
+        dim=3,
+        domain=([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+        fluid_lo=[0.0, 0.0, 0.0],
+        fluid_hi=[0.4, 0.4, 0.6],
+        dx=dx,
+        dtype=dtype,
+        **overrides,
+    )

@@ -1,0 +1,114 @@
+"""Binned dense engine: layout round-trips + trajectory parity vs oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_pie_tpu.neighbors import binned as nb
+from sph_pie_tpu.oracle import oracle_from_scene
+from sph_pie_tpu.scenes import builders
+from sph_pie_tpu.solvers import wcsph, wcsph_binned
+
+
+def _small_scene(dtype=jnp.float32, **over):
+    over.setdefault("viscosity", 0.05)
+    return builders.dam_break_2d(n_target=400, dtype=dtype, **over)
+
+
+def test_bin_unbin_roundtrip():
+    scene = _small_scene()
+    b = scene.binned_state()
+    assert int(b.overflow) == 0
+    st2 = nb.unbin(scene.bgrid, b, scene.state.capacity)
+    np.testing.assert_array_equal(np.asarray(st2.active), np.asarray(scene.state.active))
+    np.testing.assert_allclose(np.asarray(st2.pos), np.asarray(scene.state.pos))
+    np.testing.assert_allclose(np.asarray(st2.mass), np.asarray(scene.state.mass))
+
+
+def test_empty_slots_are_massless():
+    scene = _small_scene()
+    b = scene.binned_state()
+    mass = np.asarray(b.mass)
+    valid = np.asarray(b.valid)
+    assert (mass[~valid] == 0.0).all()
+    assert (np.asarray(b.owner)[~valid] == -1).all()
+    assert valid.sum() == int(scene.state.n_active())
+
+
+def test_rebin_preserves_particles():
+    scene = _small_scene()
+    b = scene.binned_state()
+    b2 = nb.rebin(scene.bgrid, b)
+    assert int(b2.overflow) == 0
+    st = nb.unbin(scene.bgrid, b, scene.state.capacity)
+    st2 = nb.unbin(scene.bgrid, b2, scene.state.capacity)
+    np.testing.assert_allclose(np.asarray(st.pos), np.asarray(st2.pos))
+    assert float(b2.travel) == 0.0
+
+
+def test_binned_matches_oracle_f64():
+    with jax.enable_x64():
+        scene = _small_scene(dtype=jnp.float64)
+        b = scene.binned_state()
+        for _ in range(100):
+            b = wcsph_binned.step(scene.params, scene.bgrid, b)
+        assert int(b.overflow) == 0
+        st = nb.unbin(scene.bgrid, b, scene.state.capacity)
+        got = np.asarray(st.pos)[np.asarray(st.active)]
+        want = oracle_from_scene(scene, dtype=np.float64).run(100)
+        err = np.abs(got - want).max()
+        assert err < 1e-6, f"binned engine drift vs oracle: {err}"
+
+
+def test_binned_matches_naive_engine_f32():
+    scene = _small_scene(dtype=jnp.float32)
+    b = scene.binned_state()
+    st_naive = scene.state
+    for _ in range(50):
+        b = wcsph_binned.step(scene.params, scene.bgrid, b)
+        st_naive = wcsph.step(scene.params, scene.gspec, st_naive)
+    st = nb.unbin(scene.bgrid, b, scene.state.capacity)
+    act = np.asarray(st.active)
+    err = np.abs(np.asarray(st.pos)[act] - np.asarray(st_naive.pos)[act]).max()
+    # identical math, different summation order -> f32 noise only
+    assert err < 1e-4, f"binned vs naive engines diverge: {err}"
+
+
+def test_simulate_binned_rolls_on_device():
+    scene = _small_scene()
+    b = wcsph_binned.simulate(scene.params, scene.bgrid, scene.binned_state(), 300)
+    assert int(b.overflow) == 0
+    st = nb.unbin(scene.bgrid, b, scene.state.capacity)
+    pos = np.asarray(st.pos)[np.asarray(st.active)]
+    assert np.isfinite(pos).all()
+    pad = 5 * float(scene.params.h)
+    assert (pos > np.asarray(scene.params.bound_min) - pad).all()
+    assert (pos < np.asarray(scene.params.bound_max) + pad).all()
+
+
+def test_slab_windows_cover_neighbor_cells():
+    """Every particle pair within h must share a (home cell, window) slab."""
+    rng = np.random.default_rng(3)
+    n, h = 200, 0.11
+    pos = jnp.asarray(rng.uniform(0, 1, (n, 2)), jnp.float32)
+    grid = nb.binned_grid_from_bounds([0, 0], [1, 1], h=h, cap=64, skin_frac=0.5)
+    from sph_pie_tpu.core import state as state_lib
+
+    st = state_lib.from_positions(pos, mass=1.0)
+    b = nb.bin_state(grid, st)
+    assert int(b.overflow) == 0
+
+    # Count, per home particle, candidate appearances of each owner.
+    owners_home = nb.cell_view(grid, b.owner)        # [C, cap]
+    found = np.zeros((n, n), bool)
+    for w in nb.slab_windows(grid, b.owner):
+        oh = np.asarray(owners_home)                  # [C, cap]
+        ow = np.asarray(w)                            # [C, 3cap]
+        for c in range(oh.shape[0]):
+            hs = oh[c][oh[c] >= 0]
+            ws = ow[c][ow[c] >= 0]
+            for i in hs:
+                found[i, ws] = True
+    d = np.asarray(pos)[:, None] - np.asarray(pos)[None, :]
+    true_pairs = (d**2).sum(-1) < h * h
+    assert not (true_pairs & ~found).any()
