@@ -31,6 +31,7 @@ from typing import Callable, TypeVar
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from sph_pie_tpu.core.state import ParticleState, allocate
 from sph_pie_tpu.utils.struct import pytree_dataclass, replace
@@ -47,6 +48,8 @@ class BinnedGrid:
     cell_size: float           # >= support radius h + skin
     cap: int                   # particle slots per cell
     skin: float                # Verlet skin absorbed into cell_size
+    block_cells: int = 0       # cells per fold block (0 = whole grid at once)
+    max_particles: int = 0     # compact particle capacity (for O(N) rebin)
 
     @property
     def dim(self) -> int:
@@ -82,10 +85,21 @@ class BinnedGrid:
 
 
 def binned_grid_from_bounds(
-    bound_min, bound_max, h: float, cap: int, skin_frac: float = 0.5
+    bound_min,
+    bound_max,
+    h: float,
+    cap: int,
+    skin_frac: float = 0.5,
+    block_cells: int | None = None,
+    max_particles: int = 0,
 ) -> BinnedGrid:
     """Grid whose cells are h*(1+skin_frac) wide; rebin is needed only when
-    a particle may have moved more than skin/2 since the last binning."""
+    a particle may have moved more than skin/2 since the last binning.
+
+    ``block_cells`` bounds the pair-interaction temporaries to
+    [block_cells, cap, 3cap] (the fold scans over blocks); auto-sized so a
+    block's pair tensor stays ~8M elements (~32 MB f32) unless given.
+    """
     skin = float(skin_frac) * float(h)
     cell = float(h) + skin
     bmin = tuple(float(v) for v in bound_min)
@@ -93,7 +107,20 @@ def binned_grid_from_bounds(
     dims = tuple(
         max(1, int(math.ceil((hi - lo) / cell))) for lo, hi in zip(bmin, bmax)
     )
-    return BinnedGrid(dims=dims, origin=bmin, cell_size=cell, cap=int(cap), skin=skin)
+    grid = BinnedGrid(
+        dims=dims,
+        origin=bmin,
+        cell_size=cell,
+        cap=int(cap),
+        skin=skin,
+        max_particles=int(max_particles),
+    )
+    if block_cells is None:
+        budget = 8 * 1024 * 1024  # pair-tensor elements per block
+        block_cells = max(8, budget // (grid.cap * 3 * grid.cap))
+        if block_cells >= grid.num_cells:
+            block_cells = 0  # single block — no scan needed
+    return dataclasses.replace(grid, block_cells=int(block_cells))
 
 
 @pytree_dataclass
@@ -107,6 +134,9 @@ class BinnedState:
     pressure: jax.Array  # [S]
     valid: jax.Array     # [S] bool
     owner: jax.Array     # [S] int32 — original particle index, -1 if empty
+    slot_of: jax.Array   # [K] int32 — particle k's slot; num_slots if absent.
+                         # Keeps rebin/unbin O(K): compact-gather K rows, sort
+                         # K keys, scatter K rows (never O(S) scatters).
     travel: jax.Array    # [] upper bound on per-particle displacement since bin
     overflow: jax.Array  # [] int32 — particles dropped because a cell overflowed
 
@@ -123,7 +153,11 @@ def _cell_ids(grid: BinnedGrid, pos, valid):
 
 
 def _bin_rows(grid: BinnedGrid, pos, vel, mass, owner, valid) -> BinnedState:
-    """Counting-sort arbitrary rows into the dense slot layout."""
+    """Counting-sort K compact rows into the dense slot layout. O(K log K).
+
+    ``owner`` must be the particle index of each row (rows are the compact
+    particle arrays), so K == grid.max_particles.
+    """
     n = pos.shape[0]
     cid = _cell_ids(grid, pos, valid)
     order = jnp.argsort(cid).astype(jnp.int32)
@@ -138,6 +172,7 @@ def _bin_rows(grid: BinnedGrid, pos, vel, mass, owner, valid) -> BinnedState:
 
     S = grid.num_slots
     dt = pos.dtype
+    sorted_owner = owner[order]
 
     def scat(init, rows):
         return init.at[slot].set(rows, mode="drop")
@@ -149,8 +184,9 @@ def _bin_rows(grid: BinnedGrid, pos, vel, mass, owner, valid) -> BinnedState:
         density=jnp.zeros((S,), dt),
         pressure=jnp.zeros((S,), dt),
         valid=scat(jnp.zeros((S,), jnp.bool_), fits),
-        owner=jnp.full((S,), -1, jnp.int32).at[slot].set(
-            owner[order], mode="drop"
+        owner=jnp.full((S,), -1, jnp.int32).at[slot].set(sorted_owner, mode="drop"),
+        slot_of=jnp.full((n,), S, jnp.int32).at[sorted_owner].set(
+            slot, mode="drop"
         ),
         travel=jnp.zeros((), dt),
         overflow=jnp.sum(
@@ -162,29 +198,60 @@ def _bin_rows(grid: BinnedGrid, pos, vel, mass, owner, valid) -> BinnedState:
 
 def bin_state(grid: BinnedGrid, state: ParticleState) -> BinnedState:
     """ParticleState (flat, original order) -> dense binned layout."""
+    if grid.max_particles and state.capacity != grid.max_particles:
+        raise ValueError(
+            f"state capacity {state.capacity} != grid.max_particles "
+            f"{grid.max_particles}"
+        )
     owner = jnp.arange(state.capacity, dtype=jnp.int32)
     return _bin_rows(grid, state.pos, state.vel, state.mass, owner, state.active)
 
 
+def _compact(grid: BinnedGrid, b: BinnedState):
+    """Gather the K compact particle rows out of the dense layout. O(K)."""
+    S = grid.num_slots
+    safe = jnp.clip(b.slot_of, 0, S - 1)
+    alive = b.slot_of < S
+    return (
+        b.pos[safe],
+        b.vel[safe],
+        b.mass[safe],
+        alive,
+    )
+
+
 def rebin(grid: BinnedGrid, b: BinnedState) -> BinnedState:
-    """Re-sort the dense layout after particles have drifted."""
-    return _bin_rows(grid, b.pos, b.vel, b.mass, b.owner, b.valid)
+    """Re-sort after drift: compact-gather K rows, then re-bin. O(K log K).
+
+    (The obvious alternative — re-binning the S dense slots directly — costs
+    O(S) scatters over mostly-empty slots: measured 867 ms vs ~10 ms at 3D
+    100k on v5e.)
+    """
+    pos, vel, mass, alive = _compact(grid, b)
+    owner = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    return _bin_rows(grid, pos, vel, mass, owner, alive)
 
 
 def unbin(grid: BinnedGrid, b: BinnedState, capacity: int) -> ParticleState:
-    """Dense layout -> flat original-order ParticleState."""
+    """Dense layout -> flat original-order ParticleState. O(K) gathers."""
+    if b.slot_of.shape[0] != capacity:
+        raise ValueError(
+            f"capacity {capacity} != particle capacity {b.slot_of.shape[0]}"
+        )
+    S = grid.num_slots
+    safe = jnp.clip(b.slot_of, 0, S - 1)
+    alive = b.slot_of < S
     st = allocate(capacity, grid.dim, b.pos.dtype)
-    # Empty slots carry owner == -1, which scatter mode="drop" would WRAP
-    # to the last row — remap them to an out-of-bounds sentinel instead.
-    ow = jnp.where(b.valid, b.owner, jnp.int32(capacity))
+    zero2 = jnp.zeros((capacity, grid.dim), b.pos.dtype)
+    m = alive[:, None]
     return replace(
         st,
-        pos=st.pos.at[ow].set(b.pos, mode="drop"),
-        vel=st.vel.at[ow].set(b.vel, mode="drop"),
-        mass=st.mass.at[ow].set(b.mass, mode="drop"),
-        density=st.density.at[ow].set(b.density, mode="drop"),
-        pressure=st.pressure.at[ow].set(b.pressure, mode="drop"),
-        active=st.active.at[ow].set(b.valid, mode="drop"),
+        pos=jnp.where(m, b.pos[safe], zero2),
+        vel=jnp.where(m, b.vel[safe], zero2),
+        mass=jnp.where(alive, b.mass[safe], 0.0),
+        density=jnp.where(alive, b.density[safe], 0.0),
+        pressure=jnp.where(alive, b.pressure[safe], 0.0),
+        active=alive,
     )
 
 
@@ -222,24 +289,93 @@ def slab_windows(grid: BinnedGrid, x: jax.Array) -> list[jax.Array]:
 def slab_fold(
     grid: BinnedGrid,
     fields: dict[str, jax.Array],
-    pair_fn: Callable[[Carry, dict[str, jax.Array]], Carry],
+    pair_fn: Callable[[Carry, dict[str, jax.Array], dict[str, jax.Array]], Carry],
     init: Carry,
 ) -> Carry:
-    """Fold ``pair_fn`` over the 3^(dim-1) neighbor slabs.
+    """Fold ``pair_fn`` over all neighbor slabs, blocked over cells.
 
-    ``fields`` maps name -> flat [S, ...] array. For each slab, ``pair_fn``
-    receives a dict of [num_cells, 3*cap, ...] neighbor windows and must
-    return an updated carry (typically [num_cells, cap, ...] accumulators
-    over the home block, which the caller reshapes from the same flat
-    arrays). The Python loop is static (3 slabs in 2D, 9 in 3D) and unrolls
-    under jit — all slices have compile-time constants, zero gathers.
+    ``fields`` maps name -> flat [S, ...] array. ``init`` is a pytree of
+    flat per-slot accumulators [S, ...]. For every block of
+    ``grid.block_cells`` cells and every one of the 3^(dim-1) slabs,
+    ``pair_fn(carry, home, win)`` receives:
+
+      carry  pytree of [blk, cap, ...] accumulators for the home block
+      home   dict of [blk, cap, ...] home-slot field blocks
+      win    dict of [blk, 3*cap, ...] neighbor-window field blocks
+
+    and returns the updated carry. Returns accumulators reassembled to the
+    flat [S, ...] layout.
+
+    TPU design notes: each block reads ONE contiguous haloed window per
+    field (``lax.dynamic_slice`` — no gathers; the halo is the leading-axes
+    stride so every slab of the block lies inside the window). Blocking
+    bounds the pair temporaries to [blk, cap, 3cap] regardless of grid
+    size, which is what keeps 3D grids inside HBM (unblocked, XLA
+    materialises [num_cells, cap, 3cap] temps and OOMs at ~50k cells).
+    The slab loop is a static Python loop; the block loop is a
+    ``lax.scan`` so compiled code size stays O(1) in grid size.
     """
-    windows = {k: slab_windows(grid, v) for k, v in fields.items()}
-    n_slabs = len(next(iter(windows.values())))
-    carry = init
-    for s in range(n_slabs):
-        carry = pair_fn(carry, {k: w[s] for k, w in windows.items()})
-    return carry
+    cap = grid.cap
+    S = grid.num_slots
+    C = grid.num_cells
+    shifts = grid.slab_shifts()
+    blk = grid.block_cells if grid.block_cells else C
+    nblk = -(-C // blk)
+    padc = max(abs(s) for s in shifts) + 1  # halo cells on each side
+    win_cells = blk + 2 * padc
+
+    def pad_rows(x):
+        front = padc * cap
+        back = (padc + nblk * blk - C) * cap
+        return jnp.pad(x, [(front, back)] + [(0, 0)] * (x.ndim - 1))
+
+    padded = {k: pad_rows(v) for k, v in fields.items()}
+
+    def tail(x):
+        return x.shape[1:]
+
+    def body(_, b):
+        start = b * (blk * cap)
+        win = {
+            k: lax.dynamic_slice_in_dim(v, start, win_cells * cap, axis=0)
+            for k, v in padded.items()
+        }
+        home = {
+            k: w[padc * cap : (padc + blk) * cap].reshape(
+                (blk, cap) + tail(w)
+            )
+            for k, w in win.items()
+        }
+        carry = jax.tree.map(
+            lambda a: jnp.zeros((blk, cap) + tail(a), a.dtype), init
+        )
+        for sh in shifts:
+            base = (padc + sh - 1) * cap
+            slab = {
+                k: _window_view(w[base : base + (blk + 2) * cap], blk, cap)
+                for k, w in win.items()
+            }
+            carry = pair_fn(carry, home, slab)
+        return None, carry
+
+    _, stacked = lax.scan(body, None, jnp.arange(nblk, dtype=jnp.int32))
+    # [nblk, blk, cap, ...] -> flat [S, ...]
+    return jax.tree.map(
+        lambda a: a.reshape((nblk * blk * cap,) + a.shape[3:])[:S], stacked
+    )
+
+
+def _window_view(w: jax.Array, blk: int, cap: int) -> jax.Array:
+    """[blk*cap + 2*cap, ...] contiguous rows -> [blk, 3*cap, ...] windows.
+
+    Window of cell c covers cells (c-1, c, c+1): three overlapping reshapes
+    of the same contiguous slab, concatenated — pure slices, no gather.
+    """
+    tail = w.shape[1:]
+    n = blk * cap
+    parts = [w[0:n], w[cap : cap + n], w[2 * cap : 2 * cap + n]]
+    blocks = [p.reshape((blk, cap) + tail) for p in parts]
+    return jnp.concatenate(blocks, axis=1)
 
 
 def cell_view(grid: BinnedGrid, x: jax.Array) -> jax.Array:

@@ -93,7 +93,7 @@ def block_scene(
     cfl: float = 0.25,
     capacity: int | None = None,
     cap: int | None = None,
-    skin_frac: float = 0.5,
+    skin_frac: float = 0.25,
     dtype=jnp.float32,
     **param_overrides,
 ) -> Scene:
@@ -121,12 +121,16 @@ def block_scene(
     gspec = grid_from_bounds(lo, hi, cell_size=h, cap=cap)
     cell = h * (1.0 + skin_frac)
     rest_occ = (cell / dx) ** dim
-    # 2x headroom over rest occupancy: dam-break impact compresses cells well
-    # past rest (1.5x was observed to overflow at 4k/2D on real hardware).
-    bcap = max(8, (int(math.ceil(2.0 * rest_occ)) + 7) // 8 * 8)
-    bgrid = nb.binned_grid_from_bounds(lo, hi, h=h, cap=bcap, skin_frac=skin_frac)
+    # Headroom over rest occupancy: dam-break impact compresses cells well
+    # past rest (2x was observed to overflow at 4k/2D on real hardware; the
+    # cost of extra 2D slots is negligible, 3D pair cost scales with cap^2).
+    headroom = 3.0 if dim == 2 else 2.0
+    bcap = max(8, (int(math.ceil(headroom * rest_occ)) + 7) // 8 * 8)
     pos = lattice_block(fluid_lo, fluid_hi, dx)
     st = state_lib.from_positions(pos, capacity=capacity, mass=mass, dtype=dtype)
+    bgrid = nb.binned_grid_from_bounds(
+        lo, hi, h=h, cap=bcap, skin_frac=skin_frac, max_particles=st.capacity
+    )
     return Scene(name=name, params=params, gspec=gspec, bgrid=bgrid, state=st)
 
 

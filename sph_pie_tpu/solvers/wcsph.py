@@ -143,10 +143,14 @@ def step(params: FluidParams, gspec: nbr.GridSpec, state: ParticleState) -> Part
     return replace(state, pos=pos, vel=vel)
 
 
-@partial(jax.jit, static_argnames=("gspec", "n_steps"))
-def simulate(params, gspec, state, n_steps: int) -> ParticleState:
-    """Roll ``n_steps`` fused steps on-device (no host round trips)."""
-    return lax.fori_loop(0, n_steps, lambda _, s: step(params, gspec, s), state)
+@partial(jax.jit, static_argnames=("gspec",))
+def simulate(params, gspec, state, n_steps) -> ParticleState:
+    """Roll ``n_steps`` fused steps on-device (no host round trips).
+
+    ``n_steps`` is a dynamic scalar: any horizon reuses one compilation."""
+    return lax.fori_loop(
+        0, jnp.asarray(n_steps, jnp.int32), lambda _, s: step(params, gspec, s), state
+    )
 
 
 @partial(jax.jit, static_argnames=("gspec", "n_steps", "record_every"))

@@ -31,21 +31,41 @@ from sph_pie_tpu.solvers.wcsph import boundary_accel, clamp_speed
 from sph_pie_tpu.utils.struct import replace
 
 
+def _planar(name: str, x: jax.Array) -> dict[str, jax.Array]:
+    """Split an [S, dim] array into per-component [S] fields.
+
+    TPU layout note: the pair tensors are [blk, cap, 3cap]; keeping vector
+    components as separate planes puts the wide 3cap axis on the 128-lane
+    dimension. A trailing [.., dim] axis would put dim=2..3 elements on the
+    lanes instead (~3% utilisation) — measured ~10x slower on v5e.
+    """
+    return {f"{name}{k}": x[:, k] for k in range(x.shape[1])}
+
+
+def _r2(dim, home, w):
+    """Squared pair distance + per-component deltas, planar layout."""
+    d = [
+        home[f"p{k}"][:, :, None] - w[f"p{k}"][:, None, :] for k in range(dim)
+    ]
+    r2 = d[0] * d[0]
+    for k in range(1, dim):
+        r2 = r2 + d[k] * d[k]
+    return d, r2
+
+
 def _density(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
     """rho over home slots via slab windows (self term included)."""
     dim, h = params.dim, params.h
-    h2 = h * h
-    home = nb.cell_view(grid, b.pos)  # [C, cap, d]
 
-    def pair(rho, w):
-        d = home[:, :, None, :] - w["pos"][:, None, :, :]   # [C, cap, 3cap, d]
-        r2 = jnp.sum(d * d, axis=-1)
+    def pair(rho, home, w):
+        _, r2 = _r2(dim, home, w)                           # [blk, cap, 3cap]
         wk = smoothing.poly6(dim, h, r2)
         return rho + jnp.sum(w["mass"][:, None, :] * wk, axis=2)
 
-    init = jnp.zeros(home.shape[:2], b.pos.dtype)
-    rho = nb.slab_fold(grid, {"pos": b.pos, "mass": b.mass}, pair, init)
-    return jnp.maximum(nb.flat_view(grid, rho), 1e-6 * params.rest_density)
+    init = jnp.zeros((grid.num_slots,), b.pos.dtype)
+    fields = {**_planar("p", b.pos), "mass": b.mass}
+    rho = nb.slab_fold(grid, fields, pair, init)
+    return jnp.maximum(rho, 1e-6 * params.rest_density)
 
 
 def _forces(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
@@ -53,56 +73,61 @@ def _forces(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
     dim, h = params.dim, params.h
     h2 = h * h
     tiny = jnp.asarray(1e-12, b.pos.dtype)
-    pos_i = nb.cell_view(grid, b.pos)        # [C, cap, d]
-    vel_i = nb.cell_view(grid, b.vel)
-    rho_i = nb.cell_view(grid, b.density)    # [C, cap]
-    prs_i = nb.cell_view(grid, b.pressure)
 
-    def pair(carry, w):
-        acc, xsph = carry
-        d = pos_i[:, :, None, :] - w["pos"][:, None, :, :]  # x_ij
-        r2 = jnp.sum(d * d, axis=-1)
+    def pair(carry, hm, w):
+        acc, xsph = carry                                   # tuples of [blk, cap]
+        rho_i, prs_i = hm["rho"], hm["prs"]                 # [blk, cap]
+        d, r2 = _r2(dim, hm, w)                             # [blk, cap, 3cap]
         live = (r2 < h2) & (r2 > tiny)
         r = jnp.sqrt(jnp.maximum(r2, tiny))
-        rhat = d / r[..., None]
+        inv_r = 1.0 / r
         m_j = jnp.where(live, w["mass"][:, None, :], 0.0)   # empty slots: 0
         rho_j = w["rho"][:, None, :]
         inv_rho_j = 1.0 / rho_j
 
+        # Scalar pair weights (all [blk, cap, 3cap], lane axis = 3cap):
         gw = smoothing.spiky_grad_mag(dim, h, r)
         p_term = (
             prs_i[..., None] / (rho_i[..., None] ** 2)
             + w["prs"][:, None, :] * inv_rho_j**2
         )
-        acc = acc - jnp.sum((m_j * p_term * gw)[..., None] * rhat, axis=2)
+        coh = smoothing.cohesion(dim, h, r)
+        # radial coefficient: acc_k -= radial * d_k (pressure + cohesion)
+        radial = (m_j * p_term * gw + params.surface_tension * m_j * coh) * inv_r
 
-        dv = w["vel"][:, None, :, :] - vel_i[:, :, None, :]
         lap = smoothing.visc_lap(dim, h, r)
         visc_w = m_j * inv_rho_j * lap
-        acc = acc + (params.viscosity / rho_i[..., None]) * jnp.sum(
-            visc_w[..., None] * dv, axis=2
-        )
-
-        coh = smoothing.cohesion(dim, h, r)
-        acc = acc - params.surface_tension * jnp.sum(
-            (m_j * coh)[..., None] * rhat, axis=2
-        )
 
         wk = smoothing.poly6(dim, h, r2)
         xw = jnp.where(live, 2.0 * m_j / (rho_i[..., None] + rho_j) * wk, 0.0)
-        xsph = xsph + jnp.sum(xw[..., None] * dv, axis=2)
-        return (acc, xsph)
 
-    zero = jnp.zeros(pos_i.shape, b.pos.dtype)
+        mu_over_rho_i = params.viscosity / rho_i
+        new_acc, new_xsph = [], []
+        for k in range(dim):
+            dv_k = w[f"v{k}"][:, None, :] - hm[f"v{k}"][:, :, None]
+            a_k = (
+                acc[k]
+                - jnp.sum(radial * d[k], axis=2)
+                + mu_over_rho_i * jnp.sum(visc_w * dv_k, axis=2)
+            )
+            new_acc.append(a_k)
+            new_xsph.append(xsph[k] + jnp.sum(xw * dv_k, axis=2))
+        return (tuple(new_acc), tuple(new_xsph))
+
     fields = {
-        "pos": b.pos,
-        "vel": b.vel,
+        **_planar("p", b.pos),
+        **_planar("v", b.vel),
         "mass": b.mass,
         "rho": b.density,
         "prs": b.pressure,
     }
-    acc, xsph = nb.slab_fold(grid, fields, pair, (zero, zero))
-    return nb.flat_view(grid, acc), nb.flat_view(grid, xsph)
+    zero_flat = jnp.zeros((grid.num_slots,), b.pos.dtype)
+    init = (
+        tuple(zero_flat for _ in range(dim)),
+        tuple(zero_flat for _ in range(dim)),
+    )
+    acc, xsph = nb.slab_fold(grid, fields, pair, init)
+    return jnp.stack(acc, axis=-1), jnp.stack(xsph, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("grid",))
@@ -136,6 +161,10 @@ def step(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState) -> nb.Binn
     return replace(b, pos=pos, vel=vel, travel=b.travel + step_disp)
 
 
-@partial(jax.jit, static_argnames=("grid", "n_steps"))
-def simulate(params, grid, b, n_steps: int) -> nb.BinnedState:
-    return lax.fori_loop(0, n_steps, lambda _, s: step(params, grid, s), b)
+@partial(jax.jit, static_argnames=("grid",))
+def simulate(params, grid, b, n_steps) -> nb.BinnedState:
+    """Roll ``n_steps`` steps on-device. ``n_steps`` is a dynamic scalar so
+    different horizons share one compilation."""
+    return lax.fori_loop(
+        0, jnp.asarray(n_steps, jnp.int32), lambda _, s: step(params, grid, s), b
+    )
