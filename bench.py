@@ -1,0 +1,78 @@
+"""Benchmark entry point (driver contract: prints ONE JSON line).
+
+Flagship metric per BASELINE.json: particle-steps/sec on the 3D dam break
+at 1M particles, single chip. vs_baseline is the fraction of the BASELINE
+north-star target (1e9 particle-steps/sec on a v5e-8); the reference repo
+itself publishes no numbers (BASELINE.md).
+
+Extra sub-benchmarks (2D 4k demo steps/s — the second metric named in
+BASELINE.json) ride along in "extra".
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+NORTH_STAR = 1.0e9  # particle-steps/sec, v5e-8 (BASELINE.json north_star)
+
+
+def _measure(scene, warm_steps: int, steps: int):
+    import jax
+
+    from sph_pie_tpu.solvers import wcsph_binned
+
+    b = scene.binned_state()
+    b = wcsph_binned.simulate(scene.params, scene.bgrid, b, warm_steps)
+    jax.block_until_ready(b.pos)
+    t0 = time.time()
+    b = wcsph_binned.simulate(scene.params, scene.bgrid, b, steps)
+    jax.block_until_ready(b.pos)
+    wall = time.time() - t0
+    n = int(scene.state.n_active())
+    return {
+        "n_particles": n,
+        "steps": steps,
+        "wall_s": round(wall, 4),
+        "ms_per_step": round(wall / steps * 1e3, 4),
+        "particle_steps_per_sec": n * steps / wall,
+        "steps_per_sec": steps / wall,
+        "overflow": int(b.overflow),
+    }
+
+
+def main() -> int:
+    from sph_pie_tpu.scenes import dam_break_2d, dam_break_3d
+
+    extra = {}
+    # Secondary: 2D 4k demo (fast, always runs).
+    extra["dam_break_2d_4k"] = _measure(dam_break_2d(4096), 200, 1000)
+
+    # Flagship: 3D dam break at 1M (fall back to 100k if the chip can't).
+    flagship_n = 1_000_000
+    try:
+        flag = _measure(dam_break_3d(flagship_n), 2, 10)
+    except Exception as e:  # OOM or device fault: report the smaller config
+        extra["flagship_error"] = f"{type(e).__name__}: {e}"[:300]
+        flagship_n = 100_000
+        flag = _measure(dam_break_3d(flagship_n), 2, 20)
+    extra[f"dam_break_3d_{flagship_n // 1000}k"] = flag
+
+    value = flag["particle_steps_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "particle_steps_per_sec_3d_dam_break_1m",
+                "value": round(value, 1),
+                "unit": "particle-steps/s",
+                "vs_baseline": round(value / NORTH_STAR, 6),
+                "extra": extra,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,7 +44,7 @@ def _cohesion(dim, h, r):
 class OracleSim:
     """Dense-pair NumPy mirror of sph_pie_tpu.solvers.wcsph.step."""
 
-    def __init__(self, params, pos, vel, mass, dtype=np.float64):
+    def __init__(self, params, pos, vel, mass, dtype=np.float64, obstacles=None):
         self.dim = int(params.dim)
         self.gamma = int(params.eos_gamma)
         f = lambda v: np.asarray(v, dtype)
@@ -66,6 +66,7 @@ class OracleSim:
         self.vel = np.array(vel, dtype)
         self.mass = np.array(mass, dtype)
         self.dtype = dtype
+        self.obstacles = obstacles  # scenes.obstacles.Obstacles or None
 
     def step(self):
         dim, h = self.dim, self.h
@@ -111,6 +112,8 @@ class OracleSim:
         pen_hi = np.maximum(pos - self.bmax, 0.0)
         violating = (pen_lo > 0.0) | (pen_hi > 0.0)
         acc += self.bk * (pen_lo - pen_hi) - self.bc * np.where(violating, vel, 0.0)
+        if self.obstacles is not None:
+            acc += self._obstacle_accel(pos, vel)
 
         # --- symplectic Euler + CFL speed clamp + XSPH advection ---
         v = vel + self.dt * acc
@@ -119,6 +122,43 @@ class OracleSim:
         self.vel = v * scale
         self.pos = pos + self.dt * (self.vel + self.xsph_eps * xsph)
         self.density, self.pressure = rho, prs
+
+    def _obstacle_accel(self, pos, vel):
+        """NumPy mirror of scenes.obstacles.accel."""
+        ob = self.obstacles
+        acc = np.zeros_like(pos)
+        any_pen = np.zeros(pos.shape[0], bool)
+        sc = np.asarray(ob.sphere_center, self.dtype)
+        if sc.shape[0]:
+            sr = np.asarray(ob.sphere_radius, self.dtype)
+            d = pos[:, None, :] - sc[None, :, :]
+            dist = np.sqrt(np.maximum((d * d).sum(-1), 1e-12))
+            pen = np.maximum(sr[None, :] - dist, 0.0)
+            nrm = d / dist[..., None]
+            acc += float(ob.stiffness) * (pen[..., None] * nrm).sum(1)
+            any_pen |= (pen > 0).any(1)
+        bl = np.asarray(ob.box_lo, self.dtype)
+        if bl.shape[0]:
+            bh = np.asarray(ob.box_hi, self.dtype)
+            p = pos[:, None, :]
+            inside = ((p > bl[None]) & (p < bh[None])).all(-1)
+            d_lo = p - bl[None]
+            d_hi = bh[None] - p
+            d_face = np.minimum(d_lo, d_hi)
+            min_ax = np.argmin(d_face, -1)
+            pen = np.min(d_face, -1)
+            sign = np.where(
+                np.take_along_axis(d_lo, min_ax[..., None], -1)
+                <= np.take_along_axis(d_hi, min_ax[..., None], -1),
+                -1.0,
+                1.0,
+            )[..., 0]
+            push = sign[..., None] * np.eye(pos.shape[-1], dtype=self.dtype)[min_ax]
+            w = np.where(inside, pen, 0.0)
+            acc += float(ob.stiffness) * (w[..., None] * push).sum(1)
+            any_pen |= (inside & (pen > 0)).any(1)
+        acc -= float(ob.damping) * np.where(any_pen[:, None], vel, 0.0)
+        return acc
 
     def run(self, n_steps: int):
         for _ in range(n_steps):

@@ -36,6 +36,8 @@ class Scene:
     gspec: GridSpec        # naive per-particle cell grid (reference engine)
     bgrid: nb.BinnedGrid   # dense slot grid (TPU production engine)
     state: ParticleState
+    obstacles: object | None = None   # scenes.obstacles.Obstacles
+    emitter: object | None = None     # scenes.emitter.EmitterSchedule
 
     def binned_state(self) -> nb.BinnedState:
         return nb.bin_state(self.bgrid, self.state)
@@ -61,11 +63,12 @@ def lattice_mass(dim: int, h: float, dx: float, rest_density: float) -> float:
     from p ~ 0 instead of a pressure shock.
     """
     reach = int(math.ceil(h / dx))
+    coeff = smoothing.poly6_coeff(dim, h)  # pure python float
     w_sum = 0.0
     for off in itertools.product(range(-reach, reach + 1), repeat=dim):
         r2 = sum((o * dx) ** 2 for o in off)
         if r2 < h * h:
-            w_sum += float(smoothing.poly6(dim, h, r2))
+            w_sum += coeff * (h * h - r2) ** 3  # host-side: no device ops
     return rest_density / w_sum
 
 
@@ -150,6 +153,71 @@ def dam_break_2d(n_target: int = 4096, dtype=jnp.float32, **overrides) -> Scene:
         dx=dx,
         dtype=dtype,
         **overrides,
+    )
+
+
+def emitter_2d(
+    n_target: int = 4096,
+    emit_speed: float = 1.5,
+    dtype=jnp.float32,
+    **overrides,
+) -> Scene:
+    """BASELINE config #2: 2D faucet fill — emitter stream onto a circular
+    obstacle, XSPH viscosity, boundary penalty walls."""
+    from sph_pie_tpu.scenes import emitter as em_lib
+    from sph_pie_tpu.scenes import obstacles as obs_lib
+
+    fill_area = 0.3  # m^2 the stream will eventually fill
+    dx = math.sqrt(fill_area / n_target)
+    h = 2.0 * dx
+    overrides.setdefault("xsph_eps", 0.1)
+    overrides.setdefault("viscosity", 0.05)
+    rest_density = float(overrides.pop("rest_density", 1000.0))
+    mass = lattice_mass(2, h, dx, rest_density)
+    sound_speed = float(overrides.pop("sound_speed", 40.0))
+    dt = 0.25 * h / sound_speed
+    params = make_params(
+        dim=2,
+        h=h,
+        dt=dt,
+        rest_density=rest_density,
+        sound_speed=sound_speed,
+        bound_min=[0.0, 0.0],
+        bound_max=[1.0, 1.0],
+        dtype=dtype,
+        **overrides,
+    )
+    skin_frac = 0.25
+    bcap = max(8, (int(math.ceil(3.0 * ((h * (1 + skin_frac)) / dx) ** 2)) + 7) // 8 * 8)
+    gspec = grid_from_bounds([0, 0], [1, 1], cell_size=h, cap=_default_cap(2, h, dx))
+    st = state_lib.allocate(n_target, 2, dtype)
+    bgrid = nb.binned_grid_from_bounds(
+        [0, 0], [1, 1], h=h, cap=bcap, skin_frac=skin_frac, max_particles=n_target
+    )
+    emitter = em_lib.plan_stream(
+        start_index=0,
+        capacity=n_target,
+        dim=2,
+        nozzle_lo=[0.45, 0.92],
+        nozzle_hi=[0.55, 0.92 + 0.5 * dx],
+        direction=[0.0, -1.0],
+        speed=emit_speed,
+        dx=dx,
+        mass=mass,
+        dt=float(dt),
+        dtype=dtype,
+    )
+    obstacles = obs_lib.make(
+        2, spheres=[([0.5, 0.5], 0.12)], dtype=dtype
+    )
+    return Scene(
+        name="emitter_2d",
+        params=params,
+        gspec=gspec,
+        bgrid=bgrid,
+        state=st,
+        obstacles=obstacles,
+        emitter=emitter,
     )
 
 

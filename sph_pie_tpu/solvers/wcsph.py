@@ -120,7 +120,12 @@ def clamp_speed(params: FluidParams, vel):
 
 
 @partial(jax.jit, static_argnames=("gspec",))
-def step(params: FluidParams, gspec: nbr.GridSpec, state: ParticleState) -> ParticleState:
+def step(
+    params: FluidParams,
+    gspec: nbr.GridSpec,
+    state: ParticleState,
+    obstacles=None,
+) -> ParticleState:
     """One WCSPH step: build cells -> density -> EOS -> forces -> integrate."""
     cl = nbr.build(gspec, state.pos, state.active)
 
@@ -133,6 +138,10 @@ def step(params: FluidParams, gspec: nbr.GridSpec, state: ParticleState) -> Part
 
     acc = acc + params.gravity
     acc = acc + boundary_accel(params, state.pos, state.vel)
+    if obstacles is not None:
+        from sph_pie_tpu.scenes import obstacles as obs_lib
+
+        acc = acc + obs_lib.accel(obstacles, state.pos, state.vel)
 
     active = state.active[:, None]
     vel = jnp.where(active, state.vel + params.dt * acc, state.vel)
@@ -144,12 +153,15 @@ def step(params: FluidParams, gspec: nbr.GridSpec, state: ParticleState) -> Part
 
 
 @partial(jax.jit, static_argnames=("gspec",))
-def simulate(params, gspec, state, n_steps) -> ParticleState:
+def simulate(params, gspec, state, n_steps, obstacles=None) -> ParticleState:
     """Roll ``n_steps`` fused steps on-device (no host round trips).
 
     ``n_steps`` is a dynamic scalar: any horizon reuses one compilation."""
     return lax.fori_loop(
-        0, jnp.asarray(n_steps, jnp.int32), lambda _, s: step(params, gspec, s), state
+        0,
+        jnp.asarray(n_steps, jnp.int32),
+        lambda _, s: step(params, gspec, s, obstacles),
+        state,
     )
 
 

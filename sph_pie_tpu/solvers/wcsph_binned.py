@@ -131,7 +131,12 @@ def _forces(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
 
 
 @partial(jax.jit, static_argnames=("grid",))
-def step(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState) -> nb.BinnedState:
+def step(
+    params: FluidParams,
+    grid: nb.BinnedGrid,
+    b: nb.BinnedState,
+    obstacles=None,
+) -> nb.BinnedState:
     """One WCSPH step in binned space, with conditional amortised rebin."""
     b = lax.cond(
         b.travel > 0.5 * grid.skin,
@@ -147,6 +152,10 @@ def step(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState) -> nb.Binn
     acc, xsph = _forces(params, grid, b)
     acc = acc + params.gravity
     acc = acc + boundary_accel(params, b.pos, b.vel)
+    if obstacles is not None:
+        from sph_pie_tpu.scenes import obstacles as obs_lib
+
+        acc = acc + obs_lib.accel(obstacles, b.pos, b.vel)
 
     valid = b.valid[:, None]
     vel = jnp.where(valid, b.vel + params.dt * acc, 0.0)
@@ -162,9 +171,12 @@ def step(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState) -> nb.Binn
 
 
 @partial(jax.jit, static_argnames=("grid",))
-def simulate(params, grid, b, n_steps) -> nb.BinnedState:
+def simulate(params, grid, b, n_steps, obstacles=None) -> nb.BinnedState:
     """Roll ``n_steps`` steps on-device. ``n_steps`` is a dynamic scalar so
     different horizons share one compilation."""
     return lax.fori_loop(
-        0, jnp.asarray(n_steps, jnp.int32), lambda _, s: step(params, grid, s), b
+        0,
+        jnp.asarray(n_steps, jnp.int32),
+        lambda _, s: step(params, grid, s, obstacles),
+        b,
     )

@@ -1,0 +1,95 @@
+"""Obstacles, emitters, and the epoch run loop (oracle-mirror archetype)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sph_pie_tpu.core import state as state_lib
+from sph_pie_tpu.oracle import OracleSim, oracle_from_scene
+from sph_pie_tpu.scenes import builders, emitter as em_lib, obstacles as obs_lib
+from sph_pie_tpu.solvers import run as run_lib
+from sph_pie_tpu.solvers import wcsph
+
+
+def test_sphere_obstacle_repels():
+    obs = obs_lib.make(2, spheres=[([0.5, 0.5], 0.2)])
+    pos = jnp.asarray([[0.45, 0.5], [0.9, 0.9]], jnp.float32)
+    vel = jnp.zeros_like(pos)
+    a = np.asarray(obs_lib.accel(obs, pos, vel))
+    assert a[0, 0] < 0  # pushed away from center (to -x)
+    assert np.allclose(a[1], 0)  # outside: no force
+
+
+def test_box_obstacle_pushes_out_nearest_face():
+    obs = obs_lib.make(2, boxes=[([0.4, 0.4], [0.6, 0.6])])
+    pos = jnp.asarray([[0.58, 0.5], [0.5, 0.42], [0.2, 0.2]], jnp.float32)
+    vel = jnp.zeros_like(pos)
+    a = np.asarray(obs_lib.accel(obs, pos, vel))
+    assert a[0, 0] > 0 and abs(a[0, 1]) < 1e-6  # near +x face -> +x push
+    assert a[1, 1] < 0 and abs(a[1, 0]) < 1e-6  # near -y face -> -y push
+    assert np.allclose(a[2], 0)
+
+
+def test_obstacle_oracle_parity():
+    """Naive engine with a sphere obstacle matches the oracle mirror."""
+    import jax
+
+    with jax.enable_x64():
+        scene = builders.dam_break_2d(n_target=300, dtype=jnp.float64)
+        obs = obs_lib.make(2, spheres=[([0.2, 0.15], 0.08)], dtype=jnp.float64)
+        st = scene.state
+        for _ in range(60):
+            st = wcsph.step(scene.params, scene.gspec, st, obs)
+        got = np.asarray(st.pos)[np.asarray(st.active)]
+        oracle = oracle_from_scene(scene, dtype=np.float64)
+        oracle.obstacles = obs
+        want = oracle.run(60)
+        assert np.abs(got - want).max() < 1e-6
+
+
+def test_emit_due_activates_on_schedule():
+    st = state_lib.allocate(4, 2)
+    em = em_lib.EmitterSchedule(
+        spawn_step=jnp.asarray([0, 5, 10, -1], jnp.int32),
+        spawn_pos=jnp.asarray([[0.1, 0.9], [0.2, 0.9], [0.3, 0.9], [0, 0]], jnp.float32),
+        spawn_vel=jnp.zeros((4, 2), jnp.float32),
+        spawn_mass=jnp.asarray([1.0, 1.0, 1.0, 0.0], jnp.float32),
+    )
+    st1 = em_lib.emit_due(st, em, 0)
+    assert np.asarray(st1.active).tolist() == [True, False, False, False]
+    st2 = em_lib.emit_due(st1, em, 7)
+    assert np.asarray(st2.active).tolist() == [True, True, False, False]
+    st3 = em_lib.emit_due(st2, em, 100)
+    assert np.asarray(st3.active).tolist() == [True, True, True, False]
+    assert np.asarray(st3.pos)[2, 0] == np.float32(0.3)
+
+
+def test_emitter_scene_runs_and_fills():
+    scene = builders.emitter_2d(n_target=512)
+    st, overflow = run_lib.run_scene(scene, n_steps=400, epoch_steps=50)
+    n0 = 0
+    n1 = int(st.n_active())
+    assert n1 > n0, "emitter produced no particles"
+    assert int(overflow) == 0
+    act = np.asarray(st.active)
+    pos = np.asarray(st.pos)[act]
+    assert np.isfinite(pos).all()
+    # Stream must not penetrate the sphere obstacle interior
+    d = np.sqrt(((pos - np.array([0.5, 0.5])) ** 2).sum(-1))
+    assert (d > 0.12 - 3 * float(scene.params.h)).all()
+
+
+def test_run_scene_plain_dam_break_matches_simulate():
+    """Epoch loop without emitter == direct binned simulate."""
+    from sph_pie_tpu.neighbors import binned as nb
+    from sph_pie_tpu.solvers import wcsph_binned
+
+    scene = builders.dam_break_2d(n_target=400)
+    st_epochs, _ = run_lib.run_scene(scene, n_steps=100, epoch_steps=50)
+    b = wcsph_binned.simulate(scene.params, scene.bgrid, scene.binned_state(), 100)
+    st_direct = nb.unbin(scene.bgrid, b, scene.state.capacity)
+    act = np.asarray(st_direct.active)
+    err = np.abs(
+        np.asarray(st_epochs.pos)[act] - np.asarray(st_direct.pos)[act]
+    ).max()
+    # bin/unbin round trips change nothing but summation order
+    assert err < 1e-4
