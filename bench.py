@@ -18,6 +18,22 @@ import time
 NORTH_STAR = 1.0e9  # particle-steps/sec, v5e-8 (BASELINE.json north_star)
 
 
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: the 1M-scene compiles cost ~2 min
+    cold; cached reruns (driver invokes bench every round) skip them."""
+    import os
+
+    import jax
+
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax: cache is best-effort
+
+
 def _measure(scene, warm_steps: int, steps: int):
     import jax
 
@@ -43,6 +59,7 @@ def _measure(scene, warm_steps: int, steps: int):
 
 
 def main() -> int:
+    _enable_compile_cache()
     from sph_pie_tpu.scenes import dam_break_2d, dam_break_3d
 
     extra = {}
