@@ -34,17 +34,25 @@ def _enable_compile_cache():
         pass  # older jax: cache is best-effort
 
 
-def _measure(scene, warm_steps: int, steps: int):
-    import jax
+def _sync(b):
+    """Force full completion via a host readback. NOTE: on the tunnelled
+    axon backend, jax.block_until_ready can return before the device work
+    is done (observed: a 500-step roll "completing" in 3 ms); a scalar
+    transfer is the only reliable fence."""
+    import numpy as np
 
+    return float(np.asarray(b.travel))
+
+
+def _measure(scene, warm_steps: int, steps: int):
     from sph_pie_tpu.solvers import wcsph_binned
 
     b = scene.binned_state()
     b = wcsph_binned.simulate(scene.params, scene.bgrid, b, warm_steps)
-    jax.block_until_ready(b.pos)
+    _sync(b)
     t0 = time.time()
     b = wcsph_binned.simulate(scene.params, scene.bgrid, b, steps)
-    jax.block_until_ready(b.pos)
+    _sync(b)
     wall = time.time() - t0
     n = int(scene.state.n_active())
     return {

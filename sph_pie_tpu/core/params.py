@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from sph_pie_tpu.utils.struct import pytree_dataclass
 
 
-@pytree_dataclass(meta_fields=("dim", "eos_gamma"))
+@pytree_dataclass(meta_fields=("dim", "eos_gamma", "use_xsph", "use_cohesion"))
 class FluidParams:
     """Parameters of a weakly-compressible SPH fluid.
 
@@ -28,6 +28,8 @@ class FluidParams:
 
     dim: int                    # 2 or 3 (static)
     eos_gamma: int              # Tait exponent (static; 7 classic, 1 = linear)
+    use_xsph: bool              # static: False compiles the XSPH term away
+    use_cohesion: bool          # static: False compiles cohesion away
 
     h: jax.Array                # smoothing/support radius
     dt: jax.Array               # timestep
@@ -81,6 +83,10 @@ def make_params(
     return FluidParams(
         dim=dim,
         eos_gamma=int(eos_gamma),
+        # Terms that are identically zero get compiled out of the hot pair
+        # loop (static flags -> dead-code elimination at trace time).
+        use_xsph=bool(xsph_eps),
+        use_cohesion=bool(surface_tension),
         h=f(h),
         dt=f(dt),
         rest_density=f(rest_density),

@@ -125,9 +125,10 @@ def block_scene(
     cell = h * (1.0 + skin_frac)
     rest_occ = (cell / dx) ** dim
     # Headroom over rest occupancy: dam-break impact compresses cells well
-    # past rest (2x was observed to overflow at 4k/2D on real hardware; the
-    # cost of extra 2D slots is negligible, 3D pair cost scales with cap^2).
-    headroom = 3.0 if dim == 2 else 2.0
+    # past rest (3x was still observed to overflow at 4k/2D on real
+    # hardware - wall-corner pile-ups under penalty boundaries; the cost of
+    # extra 2D slots is negligible, 3D pair cost scales with cap^2).
+    headroom = 4.5 if dim == 2 else 2.0
     bcap = max(8, (int(math.ceil(headroom * rest_occ)) + 7) // 8 * 8)
     pos = lattice_block(fluid_lo, fluid_hi, dx)
     st = state_lib.from_positions(pos, capacity=capacity, mass=mass, dtype=dtype)
@@ -222,17 +223,23 @@ def emitter_2d(
 
 
 def dam_break_3d(n_target: int = 100_000, dtype=jnp.float32, **overrides) -> Scene:
-    """BASELINE config #3: 3D dam break with surface tension, ~100k."""
-    vol = 0.4 * 0.4 * 0.6
+    """BASELINE config #3: 3D dam break with surface tension, ~100k.
+
+    Standard shallow-tank geometry (column at one end of a long tank, free
+    surface well below the lid) — the classic experimental configuration,
+    and it keeps the cell grid tight around fluid the flow can actually
+    reach instead of an empty cube above it.
+    """
+    vol = 0.3 * 0.4 * 0.6
     dx = (vol / n_target) ** (1.0 / 3.0)
     overrides.setdefault("surface_tension", 0.25)
     overrides.setdefault("xsph_eps", 0.05)
     return block_scene(
         name="dam_break_3d",
         dim=3,
-        domain=([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+        domain=([0.0, 0.0, 0.0], [1.0, 0.4, 0.75]),
         fluid_lo=[0.0, 0.0, 0.0],
-        fluid_hi=[0.4, 0.4, 0.6],
+        fluid_hi=[0.3, 0.4, 0.6],
         dx=dx,
         dtype=dtype,
         **overrides,

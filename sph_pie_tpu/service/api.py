@@ -67,10 +67,62 @@ class App:
         self.sessions = SessionStore()
         self._subscribers: list[queue.Queue] = []
         self._lock = threading.Lock()
+        self._previews: dict[str, dict] = {}
+        self._preview_lock = threading.Lock()
         d = self.roles.default_domain["id"]
         self.read_roles = [f"{d}.lead", f"{d}.operator", f"{d}.crew"]
         self.write_roles = [f"{d}.lead"]
         self.step_roles = [f"{d}.lead", f"{d}.operator"]
+
+    # -- live scene previews ----------------------------------------------
+    PREVIEW_ARGS = {
+        "dam_break_2d": {"n_target": 2048},
+        "dam_break_3d": {"n_target": 8000},
+        "emitter_2d": {"n_target": 1024},
+    }
+    PREVIEW_EPOCH = 25  # preview steps quantum (one compiled epoch length)
+
+    def preview_frame(self, scene_id: str, steps: int, res: int = 256) -> bytes:
+        """Advance a cached preview simulation to >= ``steps`` and render.
+
+        The simulation state is memoised per scene and only advanced by the
+        delta (quantised to PREVIEW_EPOCH so jit reuses one compilation).
+        Returns PNG bytes rendered on-device (render/splat.py).
+        """
+        from sph_pie_tpu.render import png as png_lib
+        from sph_pie_tpu.render import splat
+        from sph_pie_tpu.scenes import builders
+        from sph_pie_tpu.solvers import run as run_lib
+
+        if scene_id not in self.PREVIEW_ARGS:
+            raise HttpError(404, f"unknown scene: {scene_id}")
+        steps = max(0, (int(steps) // self.PREVIEW_EPOCH) * self.PREVIEW_EPOCH)
+        with self._preview_lock:
+            entry = self._previews.get(scene_id)
+            if entry is None or entry["step"] > steps:
+                scene = getattr(builders, scene_id)(**self.PREVIEW_ARGS[scene_id])
+                entry = {"scene": scene, "state": scene.state, "step": 0}
+                self._previews[scene_id] = entry
+            scene = entry["scene"]
+            while entry["step"] < steps:
+                st, _ = run_lib.run_epochs(
+                    scene.params,
+                    scene.bgrid,
+                    entry["state"],
+                    scene.emitter,
+                    scene.obstacles,
+                    self.PREVIEW_EPOCH,
+                    1,
+                    start_step=entry["step"],
+                )
+                entry["state"] = st
+                entry["step"] += self.PREVIEW_EPOCH
+            import numpy as np
+
+            frame = splat.frame_from_state(
+                entry["state"], scene.params, (res, res)
+            )
+            return png_lib.encode_gray_png(np.asarray(frame))
 
     # -- events ------------------------------------------------------------
     def _on_storage_event(self, event: str, run: dict, meta=None):
@@ -368,6 +420,28 @@ def make_handler(app: App):
             self._require_roles(*app.read_roles)
             self._send(200, {"runs": app.registry.get_provider().list_archived_runs()})
 
+        def ep_archive_analytics(self, qs):
+            """Grouped metric series over the archive (chart-engine analogue)."""
+            self._require_roles(*app.read_roles)
+            from sph_pie_tpu.service import analytics
+
+            def multi(key):
+                vals = qs.get(key) or []
+                out = []
+                for v in vals:
+                    out.extend(x for x in v.split(",") if x)
+                return out or None
+
+            result = analytics.daily_series(
+                app.registry.get_provider().list_archived_runs(),
+                metrics=multi("metric"),
+                scenes=multi("scene"),
+                operators=multi("operator"),
+                date_from=(qs.get("from") or [None])[0],
+                date_to=(qs.get("to") or [None])[0],
+            )
+            self._send(200, result)
+
         def ep_step_create(self, run_id, qs):
             user = self._require_roles(*app.step_roles)
             body = self._json_body()
@@ -432,6 +506,49 @@ def make_handler(app: App):
                 },
             )
 
+        def ep_preview(self, scene_id, qs):
+            """On-device-rendered PNG frame of a cached live preview sim."""
+            self._require_auth()
+            steps = int((qs.get("steps") or [0])[0])
+            res = min(1024, int((qs.get("res") or [256])[0]))
+            png = app.preview_frame(scene_id, steps, res)
+            self._send(200, None, raw=png, ctype="image/png")
+
+        def ep_calendar(self, qs):
+            """Sync-then-list ICS schedule (reference: GET /api/calendar
+            always refetches the feed, index.js:293-302)."""
+            self._require_auth()
+            from sph_pie_tpu.service import calendar_feed
+
+            url = (qs.get("url") or [app.config.get("calendar", {}).get("feedUrl", "")])[0]
+            if not url:
+                self._send(200, {"events": [], "detail": "no feed configured"})
+                return
+            try:
+                events = calendar_feed.fetch_calendar_feed(url)
+            except Exception as e:
+                raise HttpError(502, f"feed fetch failed: {e}")
+            self._send(200, {"events": events})
+
+        def ep_static(self, qs):
+            """Static viewer shell (the reference serves public/ + SPA
+            fallback, index.js:71,522-524)."""
+            from pathlib import Path
+
+            root = Path(__file__).resolve().parents[2] / "public"
+            rel = urlparse(self.path).path.lstrip("/") or "index.html"
+            target = (root / rel).resolve()
+            if not str(target).startswith(str(root)) or not target.is_file():
+                target = root / "index.html"  # SPA fallback
+            ctype = {
+                ".html": "text/html",
+                ".js": "text/javascript",
+                ".css": "text/css",
+                ".png": "image/png",
+                ".svg": "image/svg+xml",
+            }.get(target.suffix, "application/octet-stream")
+            self._send(200, None, raw=target.read_bytes(), ctype=ctype)
+
         def ep_events(self, qs):
             """SSE change feed (BroadcastChannel analogue)."""
             self._require_auth()
@@ -471,6 +588,7 @@ def make_handler(app: App):
         (r"/api/scenes", {"GET": Handler.ep_scenes}),
         (r"/api/runs", {"GET": Handler.ep_runs_list, "POST": Handler.ep_runs_create}),
         (r"/api/runs/archive", {"GET": Handler.ep_archive_list}),
+        (r"/api/runs/archive/analytics", {"GET": Handler.ep_archive_analytics}),
         (r"/api/runs/([^/]+)/archive", {"POST": Handler.ep_run_archive}),
         (r"/api/runs/([^/]+)/export", {"GET": Handler.ep_run_export}),
         (
@@ -488,6 +606,9 @@ def make_handler(app: App):
         ),
         (r"/api/webhook/simulate", {"POST": Handler.ep_webhook_simulate}),
         (r"/api/events", {"GET": Handler.ep_events}),
+        (r"/api/scenes/([^/]+)/preview\.png", {"GET": Handler.ep_preview}),
+        (r"/api/calendar", {"GET": Handler.ep_calendar}),
+        (r"/(?!api/).*", {"GET": Handler.ep_static}),
     ]
 
     return Handler

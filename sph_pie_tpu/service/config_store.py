@@ -35,6 +35,7 @@ DEFAULTS: dict = {
         "handshakeTimeoutSeconds": 5,
     },
     "scene": {"default": "dam_break_2d", "epochSteps": 50},
+    "calendar": {"feedUrl": ""},
 }
 
 ENV_OVERRIDES = {
@@ -45,6 +46,7 @@ ENV_OVERRIDES = {
     "STORAGE_PROVIDER": ("storageProvider", str),
     "SPH_PIE_DB": ("sqlite.filename", str),
     "WEBHOOK_URL": ("webhook.url", str),
+    "CALENDAR_FEED_URL": ("calendar.feedUrl", str),
 }
 
 # Legacy spellings accepted on read and rewritten to the canonical keys

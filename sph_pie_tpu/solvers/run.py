@@ -30,13 +30,19 @@ def run_epochs(
     obstacles,
     epoch_steps: int,
     n_epochs: int,
+    start_step=0,
 ) -> ParticleState:
-    """Run n_epochs * epoch_steps steps with emission between epochs."""
+    """Run n_epochs * epoch_steps steps with emission between epochs.
+
+    ``start_step`` (dynamic scalar) offsets the emission clock so callers
+    can chain run_epochs calls (e.g. the service's live previews) without
+    recompiling per horizon."""
     capacity = state.capacity
+    start_step = jnp.asarray(start_step, jnp.int32)
 
     def epoch(st: ParticleState, e):
         if emitter is not None:
-            st = em_lib.emit_due(st, emitter, e * epoch_steps)
+            st = em_lib.emit_due(st, emitter, start_step + e * epoch_steps)
         b = nb.bin_state(grid, st)
         b = wcsph_binned.simulate(params, grid, b, epoch_steps, obstacles)
         return nb.unbin(grid, b, capacity), b.overflow

@@ -91,15 +91,19 @@ def _forces(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
             prs_i[..., None] / (rho_i[..., None] ** 2)
             + w["prs"][:, None, :] * inv_rho_j**2
         )
-        coh = smoothing.cohesion(dim, h, r)
-        # radial coefficient: acc_k -= radial * d_k (pressure + cohesion)
-        radial = (m_j * p_term * gw + params.surface_tension * m_j * coh) * inv_r
+        # radial coefficient: acc_k -= radial * d_k (pressure [+ cohesion])
+        radial = m_j * p_term * gw
+        if params.use_cohesion:
+            coh = smoothing.cohesion(dim, h, r)
+            radial = radial + params.surface_tension * m_j * coh
+        radial = radial * inv_r
 
         lap = smoothing.visc_lap(dim, h, r)
         visc_w = m_j * inv_rho_j * lap
 
-        wk = smoothing.poly6(dim, h, r2)
-        xw = jnp.where(live, 2.0 * m_j / (rho_i[..., None] + rho_j) * wk, 0.0)
+        if params.use_xsph:
+            wk = smoothing.poly6(dim, h, r2)
+            xw = jnp.where(live, 2.0 * m_j / (rho_i[..., None] + rho_j) * wk, 0.0)
 
         mu_over_rho_i = params.viscosity / rho_i
         new_acc, new_xsph = [], []
@@ -111,7 +115,10 @@ def _forces(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
                 + mu_over_rho_i * jnp.sum(visc_w * dv_k, axis=2)
             )
             new_acc.append(a_k)
-            new_xsph.append(xsph[k] + jnp.sum(xw * dv_k, axis=2))
+            if params.use_xsph:
+                new_xsph.append(xsph[k] + jnp.sum(xw * dv_k, axis=2))
+            else:
+                new_xsph.append(xsph[k])
         return (tuple(new_acc), tuple(new_xsph))
 
     fields = {
