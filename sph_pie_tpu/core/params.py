@@ -65,8 +65,11 @@ def make_params(
     gravity=None,
     bound_min=None,
     bound_max=None,
-    boundary_stiffness: float = 1.0e4,
-    boundary_damping: float = 10.0,
+    # Penalty spring sized so a c0/10-fast particle stops within ~h/2 of
+    # the wall (softer springs let impacts dive cells-deep into the wall
+    # and pile up past the cell capacity — observed on the 2D dam break).
+    boundary_stiffness: float = 1.0e5,
+    boundary_damping: float = 20.0,
     max_speed: float | None = None,
     eos_gamma: int = 7,
     dtype=jnp.float32,

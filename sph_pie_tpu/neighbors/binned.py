@@ -43,13 +43,18 @@ Carry = TypeVar("Carry")
 class BinnedGrid:
     """Static slot-grid description (part of the jit cache key)."""
 
-    dims: tuple[int, ...]      # interior cells per axis
-    origin: tuple[float, ...]  # world coordinate of interior cell (0,..,0)
+    dims: tuple[int, ...]      # interior cells per GRID axis
+    origin: tuple[float, ...]  # world coord of interior cell (0,..,0), grid order
     cell_size: float           # >= support radius h + skin
     cap: int                   # particle slots per cell
     skin: float                # Verlet skin absorbed into cell_size
     block_cells: int = 0       # cells per fold block (0 = whole grid at once)
     max_particles: int = 0     # compact particle capacity (for O(N) rebin)
+    axis_order: tuple[int, ...] = ()  # grid axis g -> spatial axis. Putting
+                               # the gravity axis first makes settled fluid a
+                               # contiguous prefix of cell ids, so trailing
+                               # blocks are empty and the fold skips them.
+    skip_empty_blocks: bool = True
 
     @property
     def dim(self) -> int:
@@ -92,6 +97,7 @@ def binned_grid_from_bounds(
     skin_frac: float = 0.5,
     block_cells: int | None = None,
     max_particles: int = 0,
+    axis_order: tuple[int, ...] | None = None,
 ) -> BinnedGrid:
     """Grid whose cells are h*(1+skin_frac) wide; rebin is needed only when
     a particle may have moved more than skin/2 since the last binning.
@@ -104,16 +110,20 @@ def binned_grid_from_bounds(
     cell = float(h) + skin
     bmin = tuple(float(v) for v in bound_min)
     bmax = tuple(float(v) for v in bound_max)
+    dim = len(bmin)
+    if axis_order is None:
+        axis_order = tuple(range(dim))
     dims = tuple(
-        max(1, int(math.ceil((hi - lo) / cell))) for lo, hi in zip(bmin, bmax)
+        max(1, int(math.ceil((bmax[a] - bmin[a]) / cell))) for a in axis_order
     )
     grid = BinnedGrid(
         dims=dims,
-        origin=bmin,
+        origin=tuple(bmin[a] for a in axis_order),
         cell_size=cell,
         cap=int(cap),
         skin=skin,
         max_particles=int(max_particles),
+        axis_order=tuple(axis_order),
     )
     if block_cells is None:
         budget = 8 * 1024 * 1024  # pair-tensor elements per block
@@ -143,8 +153,10 @@ class BinnedState:
 
 def _cell_ids(grid: BinnedGrid, pos, valid):
     """Padded-grid flat cell id per row; invalid rows -> sentinel past end."""
+    order = grid.axis_order or tuple(range(grid.dim))
+    pos_g = pos[:, list(order)]  # spatial columns permuted into grid order
     origin = jnp.asarray(grid.origin, pos.dtype)
-    rel = (pos - origin) / grid.cell_size
+    rel = (pos_g - origin) / grid.cell_size
     coords = jnp.floor(rel).astype(jnp.int32) + 1  # +1: ghost border offset
     pd = jnp.asarray(grid.padded_dims, jnp.int32)
     coords = jnp.clip(coords, 1, pd - 2)  # interior only; border stays empty
@@ -346,16 +358,30 @@ def slab_fold(
             )
             for k, w in win.items()
         }
-        carry = jax.tree.map(
+        zero = jax.tree.map(
             lambda a: jnp.zeros((blk, cap) + tail(a), a.dtype), init
         )
-        for sh in shifts:
-            base = (padc + sh - 1) * cap
-            slab = {
-                k: _window_view(w[base : base + (blk + 2) * cap], blk, cap)
-                for k, w in win.items()
-            }
-            carry = pair_fn(carry, home, slab)
+
+        def compute(_):
+            carry = zero
+            for sh in shifts:
+                base = (padc + sh - 1) * cap
+                slab = {
+                    k: _window_view(w[base : base + (blk + 2) * cap], blk, cap)
+                    for k, w in win.items()
+                }
+                carry = pair_fn(carry, home, slab)
+            return carry
+
+        if grid.skip_empty_blocks and nblk > 1 and "mass" in home:
+            # Empty home blocks (no particles -> all masses 0) produce no
+            # output; with the gravity axis leading, the fluid-free part of
+            # the domain is a contiguous run of such blocks. A TPU cond
+            # executes only the taken branch, so those blocks cost ~zero.
+            occupied = jnp.any(home["mass"] > 0)
+            carry = lax.cond(occupied, compute, lambda _: zero, None)
+        else:
+            carry = compute(None)
         return None, carry
 
     _, stacked = lax.scan(body, None, jnp.arange(nblk, dtype=jnp.int32))

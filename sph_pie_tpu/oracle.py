@@ -106,12 +106,14 @@ class OracleSim:
         xw = np.where(live, 2.0 * mass[None, :] / (rho[:, None] + rho[None, :]) * w, 0.0)
         xsph = np.sum(xw[..., None] * dv, axis=1)
 
-        # --- gravity + boundary penalty ---
+        # --- gravity + boundary penalty (damping ramps over 0.1h; see
+        # solvers/wcsph.py boundary_accel for why it must be continuous) ---
         acc += self.gravity
         pen_lo = np.maximum(self.bmin - pos, 0.0)
         pen_hi = np.maximum(pos - self.bmax, 0.0)
-        violating = (pen_lo > 0.0) | (pen_hi > 0.0)
-        acc += self.bk * (pen_lo - pen_hi) - self.bc * np.where(violating, vel, 0.0)
+        pen = np.max(pen_lo + pen_hi, axis=-1, keepdims=True)
+        ramp = np.minimum(pen / (0.1 * self.h), 1.0)
+        acc += self.bk * (pen_lo - pen_hi) - self.bc * ramp * vel
         if self.obstacles is not None:
             acc += self._obstacle_accel(pos, vel)
 
@@ -127,7 +129,7 @@ class OracleSim:
         """NumPy mirror of scenes.obstacles.accel."""
         ob = self.obstacles
         acc = np.zeros_like(pos)
-        any_pen = np.zeros(pos.shape[0], bool)
+        max_pen = np.zeros(pos.shape[0], self.dtype)
         sc = np.asarray(ob.sphere_center, self.dtype)
         if sc.shape[0]:
             sr = np.asarray(ob.sphere_radius, self.dtype)
@@ -136,7 +138,7 @@ class OracleSim:
             pen = np.maximum(sr[None, :] - dist, 0.0)
             nrm = d / dist[..., None]
             acc += float(ob.stiffness) * (pen[..., None] * nrm).sum(1)
-            any_pen |= (pen > 0).any(1)
+            max_pen = np.maximum(max_pen, pen.max(1))
         bl = np.asarray(ob.box_lo, self.dtype)
         if bl.shape[0]:
             bh = np.asarray(ob.box_hi, self.dtype)
@@ -156,8 +158,9 @@ class OracleSim:
             push = sign[..., None] * np.eye(pos.shape[-1], dtype=self.dtype)[min_ax]
             w = np.where(inside, pen, 0.0)
             acc += float(ob.stiffness) * (w[..., None] * push).sum(1)
-            any_pen |= (inside & (pen > 0)).any(1)
-        acc -= float(ob.damping) * np.where(any_pen[:, None], vel, 0.0)
+            max_pen = np.maximum(max_pen, w.max(1))
+        ramp = np.minimum(max_pen / float(ob.ramp_dist), 1.0)
+        acc -= float(ob.damping) * ramp[:, None] * vel
         return acc
 
     def run(self, n_steps: int):

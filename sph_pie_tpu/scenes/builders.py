@@ -72,6 +72,14 @@ def lattice_mass(dim: int, h: float, dx: float, rest_density: float) -> float:
     return rest_density / w_sum
 
 
+def _gravity_first_order(dim: int) -> tuple[int, ...]:
+    """Grid axis order with the gravity (height = last spatial) axis
+    leading: settled fluid then occupies a contiguous prefix of cell ids,
+    so the fold's empty-block skip pays off (neighbors/binned.py)."""
+    g = dim - 1
+    return (g,) + tuple(a for a in range(dim) if a != g)
+
+
 def _default_cap(dim: int, h: float, dx: float) -> int:
     """Per-cell gather capacity: rest occupancy (h/dx)^dim with ~2x headroom,
     rounded up to a multiple of 8 (VPU sublane friendliness)."""
@@ -133,7 +141,13 @@ def block_scene(
     pos = lattice_block(fluid_lo, fluid_hi, dx)
     st = state_lib.from_positions(pos, capacity=capacity, mass=mass, dtype=dtype)
     bgrid = nb.binned_grid_from_bounds(
-        lo, hi, h=h, cap=bcap, skin_frac=skin_frac, max_particles=st.capacity
+        lo,
+        hi,
+        h=h,
+        cap=bcap,
+        skin_frac=skin_frac,
+        max_particles=st.capacity,
+        axis_order=_gravity_first_order(dim),
     )
     return Scene(name=name, params=params, gspec=gspec, bgrid=bgrid, state=st)
 
@@ -193,7 +207,13 @@ def emitter_2d(
     gspec = grid_from_bounds([0, 0], [1, 1], cell_size=h, cap=_default_cap(2, h, dx))
     st = state_lib.allocate(n_target, 2, dtype)
     bgrid = nb.binned_grid_from_bounds(
-        [0, 0], [1, 1], h=h, cap=bcap, skin_frac=skin_frac, max_particles=n_target
+        [0, 0],
+        [1, 1],
+        h=h,
+        cap=bcap,
+        skin_frac=skin_frac,
+        max_particles=n_target,
+        axis_order=_gravity_first_order(2),
     )
     emitter = em_lib.plan_stream(
         start_index=0,

@@ -94,7 +94,13 @@ def scene_from_spec(spec: dict, dtype=jnp.float32) -> Scene:
 
     gspec = grid_from_bounds(lo, hi, cell_size=h, cap=builders._default_cap(dim, h, dx))
     bgrid = nb.binned_grid_from_bounds(
-        lo, hi, h=h, cap=bcap, skin_frac=skin_frac, max_particles=capacity
+        lo,
+        hi,
+        h=h,
+        cap=bcap,
+        skin_frac=skin_frac,
+        max_particles=capacity,
+        axis_order=builders._gravity_first_order(dim),
     )
 
     obstacles = None

@@ -23,6 +23,9 @@ class Obstacles:
     box_hi: jax.Array         # [Mb, dim]
     stiffness: jax.Array      # [] penalty spring constant
     damping: jax.Array        # [] velocity damping inside penetration
+    ramp_dist: jax.Array      # [] damping ramps in over this depth (a
+                              # discontinuous damper breaks trajectory
+                              # parity — see solvers/wcsph.boundary_accel)
 
 
 def empty(dim: int, dtype=jnp.float32) -> Obstacles:
@@ -34,6 +37,7 @@ def empty(dim: int, dtype=jnp.float32) -> Obstacles:
         box_hi=z(0, dim),
         stiffness=jnp.asarray(1e4, dtype),
         damping=jnp.asarray(10.0, dtype),
+        ramp_dist=jnp.asarray(2e-3, dtype),
     )
 
 
@@ -43,6 +47,7 @@ def make(
     boxes=(),            # iterable of (lo, hi)
     stiffness: float = 1e4,
     damping: float = 10.0,
+    ramp_dist: float = 2e-3,
     dtype=jnp.float32,
 ) -> Obstacles:
     sc = [c for c, _ in spheres]
@@ -61,6 +66,7 @@ def make(
         box_hi=f(bh, 0, dim),
         stiffness=jnp.asarray(stiffness, dtype),
         damping=jnp.asarray(damping, dtype),
+        ramp_dist=jnp.asarray(ramp_dist, dtype),
     )
 
 
@@ -70,7 +76,7 @@ def accel(obs: Obstacles, pos: jax.Array, vel: jax.Array) -> jax.Array:
     pos, vel: [N, dim]. Returns [N, dim].
     """
     acc = jnp.zeros_like(pos)
-    any_pen = jnp.zeros(pos.shape[:1], bool)
+    max_pen = jnp.zeros(pos.shape[:1], pos.dtype)
 
     if obs.sphere_center.shape[0]:
         d = pos[:, None, :] - obs.sphere_center[None, :, :]     # [N, Ms, dim]
@@ -78,7 +84,7 @@ def accel(obs: Obstacles, pos: jax.Array, vel: jax.Array) -> jax.Array:
         pen = jnp.maximum(obs.sphere_radius[None, :] - dist, 0.0)
         nrm = d / dist[..., None]
         acc = acc + obs.stiffness * jnp.sum(pen[..., None] * nrm, axis=1)
-        any_pen = any_pen | jnp.any(pen > 0, axis=1)
+        max_pen = jnp.maximum(max_pen, jnp.max(pen, axis=1))
 
     if obs.box_lo.shape[0]:
         # Signed distance to an AABB; inside, push out along the closest face.
@@ -102,7 +108,8 @@ def accel(obs: Obstacles, pos: jax.Array, vel: jax.Array) -> jax.Array:
         )                                                         # [N, Mb, dim]
         w = jnp.where(inside, pen, 0.0)
         acc = acc + obs.stiffness * jnp.sum(w[..., None] * push, axis=1)
-        any_pen = any_pen | jnp.any(inside & (pen > 0), axis=1)
+        max_pen = jnp.maximum(max_pen, jnp.max(w, axis=1))
 
-    acc = acc - obs.damping * jnp.where(any_pen[:, None], vel, 0.0)
+    ramp = jnp.minimum(max_pen / obs.ramp_dist, 1.0)
+    acc = acc - obs.damping * ramp[:, None] * vel
     return acc

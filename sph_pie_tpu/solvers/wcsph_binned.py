@@ -74,23 +74,23 @@ def _forces(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
     h2 = h * h
     tiny = jnp.asarray(1e-12, b.pos.dtype)
 
+    # Per-particle quantities hoisted out of the pair loop: no divides
+    # remain in the O(pairs) inner math (VPU divides are multi-cycle).
+    inv_rho = 1.0 / b.density
+    pr2 = b.pressure * inv_rho * inv_rho          # p / rho^2
+    m_rho = b.mass * inv_rho                      # m / rho
+
     def pair(carry, hm, w):
         acc, xsph = carry                                   # tuples of [blk, cap]
-        rho_i, prs_i = hm["rho"], hm["prs"]                 # [blk, cap]
         d, r2 = _r2(dim, hm, w)                             # [blk, cap, 3cap]
         live = (r2 < h2) & (r2 > tiny)
         r = jnp.sqrt(jnp.maximum(r2, tiny))
-        inv_r = 1.0 / r
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, tiny))
         m_j = jnp.where(live, w["mass"][:, None, :], 0.0)   # empty slots: 0
-        rho_j = w["rho"][:, None, :]
-        inv_rho_j = 1.0 / rho_j
 
         # Scalar pair weights (all [blk, cap, 3cap], lane axis = 3cap):
         gw = smoothing.spiky_grad_mag(dim, h, r)
-        p_term = (
-            prs_i[..., None] / (rho_i[..., None] ** 2)
-            + w["prs"][:, None, :] * inv_rho_j**2
-        )
+        p_term = hm["pr2"][:, :, None] + w["pr2"][:, None, :]
         # radial coefficient: acc_k -= radial * d_k (pressure [+ cohesion])
         radial = m_j * p_term * gw
         if params.use_cohesion:
@@ -99,13 +99,17 @@ def _forces(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
         radial = radial * inv_r
 
         lap = smoothing.visc_lap(dim, h, r)
-        visc_w = m_j * inv_rho_j * lap
+        visc_w = jnp.where(live, w["m_rho"][:, None, :], 0.0) * lap
 
         if params.use_xsph:
             wk = smoothing.poly6(dim, h, r2)
-            xw = jnp.where(live, 2.0 * m_j / (rho_i[..., None] + rho_j) * wk, 0.0)
+            xw = jnp.where(
+                live,
+                2.0 * m_j / (hm["rho"][:, :, None] + w["rho"][:, None, :]),
+                0.0,
+            ) * wk
 
-        mu_over_rho_i = params.viscosity / rho_i
+        mu_over_rho_i = params.viscosity * hm["inv_rho"]
         new_acc, new_xsph = [], []
         for k in range(dim):
             dv_k = w[f"v{k}"][:, None, :] - hm[f"v{k}"][:, :, None]
@@ -125,9 +129,12 @@ def _forces(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
         **_planar("p", b.pos),
         **_planar("v", b.vel),
         "mass": b.mass,
-        "rho": b.density,
-        "prs": b.pressure,
+        "pr2": pr2,
+        "m_rho": m_rho,
+        "inv_rho": inv_rho,
     }
+    if params.use_xsph:
+        fields["rho"] = b.density
     zero_flat = jnp.zeros((grid.num_slots,), b.pos.dtype)
     init = (
         tuple(zero_flat for _ in range(dim)),

@@ -16,7 +16,7 @@ def test_pbf_settles_incompressible():
     scene = _scene()
     pp = pbf.make_pbf_params(iters=4)
     b = scene.binned_state()
-    b = pbf.simulate(scene.params, scene.bgrid, pp, b, 300)
+    b = pbf.simulate(scene.params, scene.bgrid, pp, b, 200)
     assert int(b.overflow) == 0
     st = nb.unbin(scene.bgrid, b, scene.state.capacity)
     act = np.asarray(st.active)
@@ -39,7 +39,7 @@ def test_pbf_column_collapses():
     pp = pbf.make_pbf_params(iters=3)
     b = scene.binned_state()
     x0 = np.asarray(scene.state.pos)[np.asarray(scene.state.active)][:, 0].max()
-    b = pbf.simulate(scene.params, scene.bgrid, pp, b, 400)
+    b = pbf.simulate(scene.params, scene.bgrid, pp, b, 250)
     st = nb.unbin(scene.bgrid, b, scene.state.capacity)
     x1 = np.asarray(st.pos)[np.asarray(st.active)][:, 0].max()
     assert x1 > x0 + 5 * float(scene.params.h)

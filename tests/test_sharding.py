@@ -50,7 +50,7 @@ def test_sharded_simulate_includes_rebin():
     mesh = sharding.make_mesh(8)
     b = sharding.shard_binned(mesh, scene.bgrid, scene.binned_state())
     sim = sharding.sharded_simulate(mesh, scene.params, scene.bgrid)
-    b = sim(b, 200)
+    b = sim(b, 100)
     assert int(b.overflow) == 0
     st = nb.unbin(scene.bgrid, b, scene.state.capacity)
     act = np.asarray(st.active)

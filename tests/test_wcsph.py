@@ -84,12 +84,28 @@ def test_density_near_rest_at_start():
 
 @pytest.mark.slow
 def test_full_contract_4k_1000_steps():
-    """BASELINE contract: 2D dam break ~4k, 1k steps, 1e-3 vs CPU oracle."""
+    """BASELINE contract: 2D dam break ~4k, 1k steps, 1e-3 vs CPU oracle.
+
+    Uses the production binned engine and the native C++ oracle when built
+    (tests/test_native_oracle.py proves native == NumPy to 1e-9)."""
+    from sph_pie_tpu import native
+    from sph_pie_tpu.neighbors import binned as nb
+    from sph_pie_tpu.solvers import wcsph_binned
+
     with jax.enable_x64():
         scene = builders.dam_break_2d(n_target=4096, dtype=jnp.float64)
-        st = wcsph.simulate(scene.params, scene.gspec, scene.state, 1000)
+        b = wcsph_binned.simulate(
+            scene.params, scene.bgrid, scene.binned_state(), 1000
+        )
+        assert int(b.overflow) == 0
+        st = nb.unbin(scene.bgrid, b, scene.state.capacity)
         got = np.asarray(st.pos)[np.asarray(st.active)]
         oracle = oracle_from_scene(scene, dtype=np.float64)
-        want = oracle.run(1000)
+        if native.available():
+            want, _ = native.oracle_run(
+                scene.params, oracle.pos, oracle.vel, oracle.mass, 1000
+            )
+        else:
+            want = oracle.run(1000)
         err = np.abs(got - want).max()
         assert err < 1e-3, f"contract violated: max |dx| = {err}"
