@@ -65,8 +65,16 @@ class App:
         users_path = f"{data_dir}/users.json" if data_dir else "data/users.json"
         self.users = UserStore(users_path, role_config=self.roles).init()
         self.sessions = SessionStore()
+        from sph_pie_tpu.service.executor import RunExecutor
+
         self._subscribers: list[queue.Queue] = []
         self._lock = threading.Lock()
+        self.executor = RunExecutor(
+            self.registry,
+            webhook=self.webhook,
+            broadcast=self.broadcast,
+            checkpoint_dir=f"{data_dir}/checkpoints" if data_dir else "data/checkpoints",
+        )
         self._previews: dict[str, dict] = {}
         self._preview_lock = threading.Lock()
         d = self.roles.default_domain["id"]
@@ -464,6 +472,27 @@ def make_handler(app: App):
             run = app.registry.get_provider().delete_step(run_id, step_id)
             self._send(200, {"run": run})
 
+        def ep_run_execute(self, run_id, qs):
+            """Queue an actual simulation for this run record (202)."""
+            self._require_roles(*app.write_roles)
+            body = self._json_body()
+            scene_id = body.get("scene")
+            run = app.registry.get_provider().get_run(run_id)
+            if run is None:
+                raise HttpError(404, "run not found")
+            scene_id = scene_id or run.get("scene")
+            from sph_pie_tpu.service.api import scene_catalog
+
+            if scene_id not in {s["id"] for s in scene_catalog()}:
+                raise HttpError(400, f"unknown scene: {scene_id}")
+            queued = app.executor.submit(
+                run_id,
+                scene_id,
+                int(body.get("steps", 200)),
+                int(body.get("recordEvery", 50)),
+            )
+            self._send(202, {"run": queued, "pending": app.executor.pending()})
+
         def ep_run_export(self, run_id, qs):
             self._require_roles(*app.read_roles)
             provider = app.registry.get_provider()
@@ -591,6 +620,7 @@ def make_handler(app: App):
         (r"/api/runs/archive/analytics", {"GET": Handler.ep_archive_analytics}),
         (r"/api/runs/([^/]+)/archive", {"POST": Handler.ep_run_archive}),
         (r"/api/runs/([^/]+)/export", {"GET": Handler.ep_run_export}),
+        (r"/api/runs/([^/]+)/execute", {"POST": Handler.ep_run_execute}),
         (
             r"/api/runs/([^/]+)/steps/([^/]+)",
             {"PUT": Handler.ep_step_update, "DELETE": Handler.ep_step_delete},
