@@ -126,8 +126,12 @@ def binned_grid_from_bounds(
         axis_order=tuple(axis_order),
     )
     if block_cells is None:
-        budget = 8 * 1024 * 1024  # pair-tensor elements per block
-        block_cells = max(8, budget // (grid.cap * 3 * grid.cap))
+        # Small blocks win twice: finer empty-block skip granularity and
+        # smaller VMEM-resident temps. Sweep on v5e (3D dam break):
+        # 256 cells/block beat the old pair-budget choice (2730) by ~2x at
+        # 1M particles (154 vs 298 ms/step) and ~1.6x at 100k.
+        budget = 8 * 1024 * 1024  # pair-tensor element cap per block
+        block_cells = max(8, min(256, budget // (grid.cap * 3 * grid.cap)))
         if block_cells >= grid.num_cells:
             block_cells = 0  # single block — no scan needed
     return dataclasses.replace(grid, block_cells=int(block_cells))
