@@ -17,7 +17,7 @@ from __future__ import annotations
 import re
 import time
 import urllib.request
-from datetime import datetime, timedelta, timezone
+from datetime import datetime, timezone
 
 CUTOFF_MONTHS = 2  # reference: 2-month lookback (calendarFeed.js:33-38)
 

@@ -16,11 +16,7 @@ import sqlite3
 from pathlib import Path
 
 from sph_pie_tpu.service.storage import base
-from sph_pie_tpu.service.storage.base import (
-    ConflictError,
-    ValidationError,
-    now_ms,
-)
+from sph_pie_tpu.service.storage.base import now_ms
 
 _SCHEMA = {
     "runs": (

@@ -46,11 +46,14 @@ class PbfParams:
 def make_pbf_params(
     iters: int = 4,
     relax_eps: float = 100.0,
-    s_corr_k: float = 1e-4,
+    s_corr_k: float = 0.1,
     s_corr_n: float = 4.0,
     s_corr_dq: float = 0.3,
     dtype=jnp.float32,
 ) -> PbfParams:
+    """``s_corr_k`` is h-relative: the effective artificial-pressure
+    coefficient is s_corr_k * h^2 (lambda carries length^2 units, so the
+    anti-clustering term must scale with h^2 to stay resolution-neutral)."""
     f = lambda v: jnp.asarray(v, dtype)
     return PbfParams(
         iters=int(iters),
@@ -96,8 +99,10 @@ def _lambda_fold(params: FluidParams, pbf: PbfParams, grid, fields):
     denom = grad_sq
     for k in range(dim):
         denom = denom + grad_sum[k] * grad_sum[k]
+    # Unclamped constraint (Macklin & Mueller eq. 1): stretched regions
+    # attract. Clamping C at 0 breaks the balance against the artificial
+    # pressure and the fluid slowly inflates (observed).
     c = rho / rho0 - 1.0
-    c = jnp.maximum(c, 0.0)  # unilateral: no attraction at free surface
     lam = -c / (denom + pbf.relax_eps)
     return lam, rho
 
@@ -114,9 +119,12 @@ def _dx_fold(params: FluidParams, pbf: PbfParams, grid, fields):
         d, r2 = _r2(dim, hm, w)
         live = (r2 < h2) & (r2 > tiny)
         r = jnp.sqrt(jnp.maximum(r2, tiny))
-        m_j = jnp.where(live & (w["mass"][:, None, :] > 0), 1.0, 0.0)
+        # dx_i = sum_j (m_j/rho0) (lam_i + lam_j + s_corr) grad_i W_ij —
+        # the mass factor is REQUIRED with physical masses (the unit-mass
+        # paper form blows corrections up by 1/m; observed 3D explosion).
+        m_j = jnp.where(live, w["mass"][:, None, :], 0.0)
         wk = smoothing.poly6(dim, h, r2)
-        s_corr = -pbf.s_corr_k * (wk / w_dq) ** pbf.s_corr_n
+        s_corr = -(pbf.s_corr_k * h * h) * (wk / w_dq) ** pbf.s_corr_n
         lam_sum = hm["lam"][:, :, None] + w["lam"][:, None, :] + s_corr
         gw = smoothing.spiky_grad_mag(dim, h, r) / r
         coef = m_j * lam_sum * gw / rho0
@@ -128,6 +136,34 @@ def _dx_fold(params: FluidParams, pbf: PbfParams, grid, fields):
     zero = jnp.zeros((S,), fields["mass"].dtype)
     dxs = nb.slab_fold(grid, fields, pair, tuple(zero for _ in range(dim)))
     return jnp.stack(dxs, axis=-1)
+
+
+def _xsph_fold(params: FluidParams, grid, pos, vel, mass, rho):
+    """XSPH velocity-smoothing sum over neighbors (planar layout)."""
+    dim, h = params.dim, params.h
+    h2 = h * h
+    tiny = jnp.asarray(1e-12, params.h.dtype)
+
+    def pair(carry, hm, w):
+        d, r2 = _r2(dim, hm, w)
+        live = (r2 < h2) & (r2 > tiny)
+        m_j = jnp.where(live, w["mass"][:, None, :], 0.0)
+        wk = smoothing.poly6(dim, h, r2)
+        xw = 2.0 * m_j / (hm["rho"][:, :, None] + w["rho"][:, None, :]) * wk
+        return tuple(
+            c_k + jnp.sum(xw * (w[f"v{k}"][:, None, :] - hm[f"v{k}"][:, :, None]), axis=2)
+            for c_k, k in zip(carry, range(dim))
+        )
+
+    fields = {
+        **_planar("p", pos),
+        **_planar("v", vel),
+        "mass": mass,
+        "rho": rho,
+    }
+    zero = jnp.zeros((grid.num_slots,), pos.dtype)
+    out = nb.slab_fold(grid, fields, pair, tuple(zero for _ in range(dim)))
+    return jnp.stack(out, axis=-1)
 
 
 @partial(jax.jit, static_argnames=("grid",))
@@ -181,15 +217,25 @@ def step(
     new_vel = jnp.where(valid, (x_star - b.pos) / params.dt, 0.0)
     new_vel = clamp_speed(params, new_vel)
 
-    # Final density for diagnostics/rendering
+    # Final density (diagnostics/rendering + XSPH weights)
     fields = {**_planar("p", x_star), "mass": b.mass}
     _, rho = _lambda_fold(params, pbf, grid, fields)
+    rho = jnp.maximum(rho, 1e-6 * params.rest_density)  # safe 1/rho everywhere
+
+    if params.use_xsph:
+        # XSPH velocity smoothing — "important for coherent motion"
+        # (Macklin & Mueller 2013 section 4); damps the energy the
+        # constraint projection injects.
+        new_vel = new_vel + params.xsph_eps * _xsph_fold(
+            params, grid, x_star, new_vel, b.mass, rho
+        )
+        new_vel = jnp.where(valid, clamp_speed(params, new_vel), 0.0)
 
     return replace(
         b,
         pos=jnp.where(valid, x_star, b.pos),
         vel=new_vel,
-        density=jnp.maximum(rho, 1e-6 * params.rest_density),
+        density=rho,
         travel=b.travel + step_disp,
     )
 

@@ -96,7 +96,7 @@ def test_png_encoder_valid():
 @pytest.fixture
 def server(tmp_path):
     from sph_pie_tpu.service.api import App, make_server
-    from tests.test_api import Client, GOOD_PW, _login_admin
+    from tests.test_api import Client, _login_admin
 
     app = App(config_path=tmp_path / "cfg.json", data_dir=str(tmp_path), env={})
     srv = make_server(app, "127.0.0.1", 0)

@@ -2,8 +2,6 @@
 
 import json
 
-import numpy as np
-
 from sph_pie_tpu.scenes import dam_break_2d
 from sph_pie_tpu.service import export, health, metrics
 from sph_pie_tpu.service.config_store import ConfigStore

@@ -1,6 +1,5 @@
 """PBF solver: incompressibility + stability invariants."""
 
-import jax.numpy as jnp
 import numpy as np
 
 from sph_pie_tpu.neighbors import binned as nb

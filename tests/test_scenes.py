@@ -4,7 +4,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sph_pie_tpu.core import state as state_lib
-from sph_pie_tpu.oracle import OracleSim, oracle_from_scene
+from sph_pie_tpu.oracle import oracle_from_scene
 from sph_pie_tpu.scenes import builders, emitter as em_lib, obstacles as obs_lib
 from sph_pie_tpu.solvers import run as run_lib
 from sph_pie_tpu.solvers import wcsph

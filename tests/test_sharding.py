@@ -3,7 +3,6 @@
 like the reference's StubPool emulates a DB server without a cluster)."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
