@@ -307,6 +307,8 @@ def slab_fold(
     fields: dict[str, jax.Array],
     pair_fn: Callable[[Carry, dict[str, jax.Array], dict[str, jax.Array]], Carry],
     init: Carry,
+    halo: tuple[dict, dict] | None = None,
+    local_cells: int | None = None,
 ) -> Carry:
     """Fold ``pair_fn`` over all neighbor slabs, blocked over cells.
 
@@ -330,22 +332,40 @@ def slab_fold(
     materialises [num_cells, cap, 3cap] temps and OOMs at ~50k cells).
     The slab loop is a static Python loop; the block loop is a
     ``lax.scan`` so compiled code size stays O(1) in grid size.
+
+    Multi-chip: with ``halo=(lo_fields, hi_fields)`` and ``local_cells``,
+    the fold operates on a device-local contiguous slab of cells whose
+    out-of-shard neighbor rows were exchanged explicitly (ppermute over
+    ICI — parallel/halo.py) instead of zero-padded; each halo dict holds
+    [padc*cap, ...] rows (padc = halo_cells(grid)).
     """
     cap = grid.cap
-    S = grid.num_slots
-    C = grid.num_cells
+    C = local_cells if local_cells is not None else grid.num_cells
     shifts = grid.slab_shifts()
     blk = grid.block_cells if grid.block_cells else C
+    blk = min(blk, C)
     nblk = -(-C // blk)
     padc = max(abs(s) for s in shifts) + 1  # halo cells on each side
     win_cells = blk + 2 * padc
 
-    def pad_rows(x):
-        front = padc * cap
-        back = (padc + nblk * blk - C) * cap
-        return jnp.pad(x, [(front, back)] + [(0, 0)] * (x.ndim - 1))
+    def pad_rows(k, x):
+        tail_rows = (padc + nblk * blk - C) * cap
+        if halo is None:
+            front = jnp.zeros((padc * cap,) + x.shape[1:], x.dtype)
+            back = jnp.zeros((tail_rows,) + x.shape[1:], x.dtype)
+        else:
+            front = halo[0][k]
+            back = jnp.concatenate(
+                [
+                    halo[1][k],
+                    jnp.zeros(
+                        ((tail_rows - padc * cap),) + x.shape[1:], x.dtype
+                    ),
+                ]
+            ) if tail_rows > padc * cap else halo[1][k][: tail_rows]
+        return jnp.concatenate([front, x, back])
 
-    padded = {k: pad_rows(v) for k, v in fields.items()}
+    padded = {k: pad_rows(k, v) for k, v in fields.items()}
 
     def tail(x):
         return x.shape[1:]
@@ -389,10 +409,15 @@ def slab_fold(
         return None, carry
 
     _, stacked = lax.scan(body, None, jnp.arange(nblk, dtype=jnp.int32))
-    # [nblk, blk, cap, ...] -> flat [S, ...]
+    # [nblk, blk, cap, ...] -> flat [C*cap, ...]
     return jax.tree.map(
-        lambda a: a.reshape((nblk * blk * cap,) + a.shape[3:])[:S], stacked
+        lambda a: a.reshape((nblk * blk * cap,) + a.shape[3:])[: C * cap], stacked
     )
+
+
+def halo_cells(grid: BinnedGrid) -> int:
+    """Cells of halo each side a local fold needs (= max slab reach + 1)."""
+    return max(abs(s) for s in grid.slab_shifts()) + 1
 
 
 def _window_view(w: jax.Array, blk: int, cap: int) -> jax.Array:

@@ -53,8 +53,17 @@ def _r2(dim, home, w):
     return d, r2
 
 
-def _density(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
-    """rho over home slots via slab windows (self term included)."""
+def _density(
+    params: FluidParams,
+    grid: nb.BinnedGrid,
+    b,
+    halo=None,
+    local_cells: int | None = None,
+):
+    """rho over home slots via slab windows (self term included).
+
+    ``b`` needs .pos/.mass flat arrays; with halo/local_cells the fold runs
+    on a device-local slab (parallel/halo.py)."""
     dim, h = params.dim, params.h
 
     def pair(rho, home, w):
@@ -62,13 +71,19 @@ def _density(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
         wk = smoothing.poly6(dim, h, r2)
         return rho + jnp.sum(w["mass"][:, None, :] * wk, axis=2)
 
-    init = jnp.zeros((grid.num_slots,), b.pos.dtype)
+    init = jnp.zeros_like(b.mass)
     fields = {**_planar("p", b.pos), "mass": b.mass}
-    rho = nb.slab_fold(grid, fields, pair, init)
+    rho = nb.slab_fold(grid, fields, pair, init, halo=halo, local_cells=local_cells)
     return jnp.maximum(rho, 1e-6 * params.rest_density)
 
 
-def _forces(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
+def _forces(
+    params: FluidParams,
+    grid: nb.BinnedGrid,
+    b,
+    halo=None,
+    local_cells: int | None = None,
+):
     """Pressure + viscosity + cohesion accel and XSPH sum over home slots."""
     dim, h = params.dim, params.h
     h2 = h * h
@@ -135,12 +150,14 @@ def _forces(params: FluidParams, grid: nb.BinnedGrid, b: nb.BinnedState):
     }
     if params.use_xsph:
         fields["rho"] = b.density
-    zero_flat = jnp.zeros((grid.num_slots,), b.pos.dtype)
+    zero_flat = jnp.zeros_like(b.mass)
     init = (
         tuple(zero_flat for _ in range(dim)),
         tuple(zero_flat for _ in range(dim)),
     )
-    acc, xsph = nb.slab_fold(grid, fields, pair, init)
+    acc, xsph = nb.slab_fold(
+        grid, fields, pair, init, halo=halo, local_cells=local_cells
+    )
     return jnp.stack(acc, axis=-1), jnp.stack(xsph, axis=-1)
 
 
