@@ -31,6 +31,11 @@ def main(argv=None):
         else:
             from sph_pie_tpu.scenes import builders
 
+            if not hasattr(builders, args.scene):
+                p.error(
+                    f"unknown scene '{args.scene}' "
+                    "(try dam_break_2d, dam_break_3d, emitter_2d, or a JSON path)"
+                )
             scene = getattr(builders, args.scene)()
         st, overflow = run_lib.run_scene(scene, args.steps)
         import json
