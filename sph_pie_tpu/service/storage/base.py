@@ -17,6 +17,7 @@ Domain model (the simulation-framework analogue of shows/entries):
 
 from __future__ import annotations
 
+import functools
 import time
 import uuid
 
@@ -126,3 +127,29 @@ def is_expired(archived_run: dict, retention_months: float, now=None) -> bool:
     now = now_ms() if now is None else now
     created = archived_run.get("createdAt", now)
     return now - created >= retention_months * _MONTH_S * 1000
+
+
+MUTATORS = (
+    "create_run", "update_run", "replace_run", "delete_run",
+    "add_step", "update_step", "delete_step",
+    "archive_run_now", "run_archive_maintenance",
+)
+
+
+def lock_mutators(cls):
+    """Wrap a provider's mutating methods in its self._mutex: API handler
+    threads and the run executor perform read-modify-write on the same
+    records (the reference's sql.js store has the equivalent unguarded
+    last-writer-wins race — SURVEY.md section 5)."""
+
+    def locked(fn):
+        @functools.wraps(fn)
+        def wrapper(self, *a, **kw):
+            with self._mutex:
+                return fn(self, *a, **kw)
+
+        return wrapper
+
+    for name in MUTATORS:
+        setattr(cls, name, locked(getattr(cls, name)))
+    return cls

@@ -14,6 +14,8 @@ environment, so the second engine is a document-per-file store with:
 
 from __future__ import annotations
 
+import threading
+
 import json
 from pathlib import Path
 
@@ -21,6 +23,7 @@ from sph_pie_tpu.service.storage import base
 from sph_pie_tpu.service.storage.base import now_ms
 
 
+@base.lock_mutators
 class JsonFileProvider:
     provider_type = "jsonfile"
 
@@ -30,6 +33,9 @@ class JsonFileProvider:
         self.auto_archive_hours = opts.get("autoArchiveHours", base.AUTO_ARCHIVE_HOURS)
         self.retention_months = opts.get("retentionMonths", base.RETENTION_MONTHS)
         self.on_event = on_event or (lambda event, run, meta=None: None)
+        # Serialises read-modify-write mutations: API handler threads and
+        # the run executor mutate the same records concurrently.
+        self._mutex = threading.RLock()
 
     # -- lifecycle ---------------------------------------------------------
     def init(self):

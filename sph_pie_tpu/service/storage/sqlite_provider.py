@@ -11,6 +11,8 @@ sqlite3 transactions, so a write costs one page set, not the whole file.
 
 from __future__ import annotations
 
+import threading
+
 import json
 import sqlite3
 from pathlib import Path
@@ -31,6 +33,7 @@ _SCHEMA = {
 }
 
 
+@base.lock_mutators
 class SqliteProvider:
     provider_type = "sqlite"
 
@@ -41,6 +44,9 @@ class SqliteProvider:
         self.retention_months = opts.get("retentionMonths", base.RETENTION_MONTHS)
         self.on_event = on_event or (lambda event, run, meta=None: None)
         self._db: sqlite3.Connection | None = None
+        # Serialises read-modify-write mutations: API handler threads and
+        # the run executor mutate the same records concurrently.
+        self._mutex = threading.RLock()
 
     # -- lifecycle ---------------------------------------------------------
     def init(self):

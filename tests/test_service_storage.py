@@ -133,3 +133,22 @@ def test_registry_hot_swap(tmp_path):
 def test_registry_requires_init():
     with pytest.raises(RuntimeError):
         ProviderRegistry().get_provider()
+
+
+def test_concurrent_step_writes_do_not_lose_updates(provider):
+    """Two writer threads interleaving add_step must not drop rows (the
+    read-modify-write is serialised by the provider mutex; the reference's
+    sql.js store has the equivalent unguarded race, SURVEY.md section 5)."""
+    import threading
+
+    run = provider.create_run(_mk())
+
+    def writer(base_idx):
+        for i in range(20):
+            provider.add_step(run["id"], {"step": base_idx + i})
+
+    t1 = threading.Thread(target=writer, args=(0,))
+    t2 = threading.Thread(target=writer, args=(1000,))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    got = provider.get_run(run["id"])
+    assert len(got["steps"]) == 40
