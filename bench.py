@@ -66,6 +66,52 @@ def _measure(scene, warm_steps: int, steps: int):
     }
 
 
+def _measure_emitter(n_steps=500):
+    """BASELINE config #2: emitter + obstacle scene via the epoch loop."""
+    import numpy as np
+
+    from sph_pie_tpu.scenes import emitter_2d
+    from sph_pie_tpu.solvers import run as run_lib
+
+    scene = emitter_2d(4096)
+    st, _ = run_lib.run_scene(scene, 100)  # warm/compile
+    t0 = time.time()
+    st, overflow = run_lib.run_scene(scene, n_steps)
+    n_final = int(np.asarray(st.active).sum())
+    wall = time.time() - t0
+    return {
+        "steps": n_steps,
+        "wall_s": round(wall, 4),
+        "steps_per_sec": n_steps / wall,
+        "particles_emitted": n_final,
+        "overflow": int(overflow),
+    }
+
+
+def _measure_pbf(n=100_000, steps=20):
+    """BASELINE config #4: incompressible PBF solver."""
+    from sph_pie_tpu.scenes import dam_break_3d
+    from sph_pie_tpu.solvers import pbf
+
+    scene = dam_break_3d(n)
+    pp = pbf.make_pbf_params(iters=3)
+    b = scene.binned_state()
+    b = pbf.simulate(scene.params, scene.bgrid, pp, b, 2)
+    _sync(b)
+    t0 = time.time()
+    b = pbf.simulate(scene.params, scene.bgrid, pp, b, steps)
+    _sync(b)
+    wall = time.time() - t0
+    n_act = int(scene.state.n_active())
+    return {
+        "n_particles": n_act,
+        "steps": steps,
+        "ms_per_step": round(wall / steps * 1e3, 4),
+        "particle_steps_per_sec": n_act * steps / wall,
+        "overflow": int(b.overflow),
+    }
+
+
 def main() -> int:
     _enable_compile_cache()
     from sph_pie_tpu.scenes import dam_break_2d, dam_break_3d
@@ -73,6 +119,14 @@ def main() -> int:
     extra = {}
     # Secondary: 2D 4k demo (fast, always runs).
     extra["dam_break_2d_4k"] = _measure(dam_break_2d(4096), 200, 1000)
+    for key, fn in (
+        ("emitter_2d_4k", _measure_emitter),
+        ("pbf_3d_100k", _measure_pbf),
+    ):
+        try:
+            extra[key] = fn()
+        except Exception as e:
+            extra[f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
 
     # Flagship: 3D dam break at 1M (fall back to 100k if the chip can't).
     flagship_n = 1_000_000
