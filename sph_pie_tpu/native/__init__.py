@@ -30,20 +30,23 @@ def _build() -> bool:
     global _build_error
     if _LIB.exists() and _LIB.stat().st_mtime >= _SRC.stat().st_mtime:
         return True
-    try:
-        subprocess.run(
-            [
-                "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
-                str(_SRC), "-o", str(_LIB),
-            ],
-            check=True,
-            capture_output=True,
-            timeout=120,
-        )
-        return True
-    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
-        _build_error = str(e)
-        return False
+    flag_sets = (
+        ["-O3", "-march=native", "-fopenmp"],
+        ["-O3", "-fopenmp"],  # -march=native unsupported on some hosts
+        ["-O2"],              # no OpenMP available
+    )
+    for flags in flag_sets:
+        try:
+            subprocess.run(
+                ["g++", *flags, "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+            return True
+        except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
+            _build_error = str(e)
+    return False
 
 
 def _load():
