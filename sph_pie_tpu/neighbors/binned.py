@@ -126,12 +126,14 @@ def binned_grid_from_bounds(
         axis_order=tuple(axis_order),
     )
     if block_cells is None:
-        # Small blocks win twice: finer empty-block skip granularity and
-        # smaller VMEM-resident temps. Sweep on v5e (3D dam break):
-        # 256 cells/block beat the old pair-budget choice (2730) by ~2x at
-        # 1M particles (154 vs 298 ms/step) and ~1.6x at 100k.
+        # Small blocks win twice in 3D: finer empty-block skip granularity
+        # and smaller VMEM-resident temps. Sweeps on v5e (dam breaks):
+        # 3D wants 256 cells/block (1M: 154 vs 298 ms/step at the old
+        # pair-budget choice of 2730); 2D grids are small and lightly
+        # skippable, so larger blocks (1024) edge out on dispatch overhead.
         budget = 8 * 1024 * 1024  # pair-tensor element cap per block
-        block_cells = max(8, min(256, budget // (grid.cap * 3 * grid.cap)))
+        sweet = 1024 if len(dims) == 2 else 256
+        block_cells = max(8, min(sweet, budget // (grid.cap * 3 * grid.cap)))
         if block_cells >= grid.num_cells:
             block_cells = 0  # single block — no scan needed
     return dataclasses.replace(grid, block_cells=int(block_cells))
