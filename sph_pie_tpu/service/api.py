@@ -163,6 +163,14 @@ class App:
     def apply_config(self, new_cfg: dict) -> dict:
         """PUT /api/config semantics: persist, re-init provider + webhook
         without restart (reference: index.js:245-260)."""
+        # GET /api/config masks webhook.secret as '***'; a read-modify-write
+        # round trip must not overwrite the real secret with the mask.
+        wh = new_cfg.get("webhook")
+        if isinstance(wh, dict) and ("secret" not in wh or wh["secret"] == "***"):
+            existing = self.config.get("webhook", {}).get("secret")
+            if existing:
+                wh = dict(wh, secret=existing)
+                new_cfg = dict(new_cfg, webhook=wh)
         self.config = self.config_store.save(new_cfg)
         self.registry.init_provider(self.config)
         self.webhook.set_config(self.config.get("webhook"))
@@ -549,10 +557,20 @@ def make_handler(app: App):
             self._require_auth()
             from sph_pie_tpu.service import calendar_feed
 
-            url = (qs.get("url") or [app.config.get("calendar", {}).get("feedUrl", "")])[0]
+            url = app.config.get("calendar", {}).get("feedUrl", "")
+            override = (qs.get("url") or [None])[0]
+            if override:
+                # SSRF guard: only admins may point the server at an
+                # arbitrary feed, and only over http(s) — the reference
+                # fetches exclusively its configured CALENDAR_FEED_URL
+                # (index.js:53,293-302).
+                self._require_roles()  # admin only
+                url = override
             if not url:
                 self._send(200, {"events": [], "detail": "no feed configured"})
                 return
+            if urlparse(url).scheme not in ("http", "https"):
+                raise HttpError(400, "calendar feed URL must be http(s)")
             try:
                 events = calendar_feed.fetch_calendar_feed(url)
             except Exception as e:

@@ -60,7 +60,15 @@ class RunExecutor:
             try:
                 job = self._q.get(timeout=5)
             except queue.Empty:
-                return  # worker retires when idle; resubmit restarts it
+                # Retire atomically w.r.t. submit(): if a job slipped in
+                # between the timeout and here, keep draining; otherwise
+                # clear the worker slot under the lock so the next
+                # submit() is guaranteed to start a fresh worker.
+                with self._lock:
+                    if self._q.empty():
+                        self._worker = None
+                        return
+                continue
             self._execute(*job)
 
     def _execute(self, run_id, scene_id, n_steps, record_every):

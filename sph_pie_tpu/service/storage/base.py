@@ -18,6 +18,7 @@ Domain model (the simulation-framework analogue of shows/entries):
 from __future__ import annotations
 
 import functools
+import re
 import time
 import uuid
 
@@ -43,6 +44,23 @@ def new_id() -> str:
     return str(uuid.uuid4())
 
 
+_SAFE_ID = re.compile(r"^[A-Za-z0-9_-]{1,64}$")
+
+
+def safe_id(value) -> str:
+    """Validate a record id for safe use anywhere (SQL params, file names).
+
+    The reference only ever uses ids as parameterized SQL values; our
+    jsonfile engine also uses them as file names, so ids must never carry
+    path separators or dots (a client-supplied id like
+    '../../config/app-config' would otherwise escape the data directory).
+    """
+    s = str(value or "").strip()
+    if not _SAFE_ID.match(s):
+        raise ValidationError("id must match [A-Za-z0-9_-]{1,64}")
+    return s
+
+
 def normalize_run(payload: dict, existing: dict | None = None) -> dict:
     """Validate + normalise a run record (reference: _normalizeShow +
     required-field validation, sqlProvider.js:319-409)."""
@@ -64,7 +82,7 @@ def normalize_run(payload: dict, existing: dict | None = None) -> dict:
     out["runDate"] = run_date
     out.setdefault("params", {})
     out.setdefault("steps", [])
-    out["id"] = base.get("id") or out.get("id") or new_id()
+    out["id"] = safe_id(base.get("id") or out.get("id") or new_id())
     out["createdAt"] = base.get("createdAt") or out.get("createdAt") or now_ms()
     out["updatedAt"] = now_ms()
     if not isinstance(out["steps"], list):
@@ -80,7 +98,7 @@ def normalize_step(payload: dict) -> dict:
         raise ValidationError("step index is required")
     out["step"] = int(out["step"])
     out.setdefault("recordedAt", now_ms())
-    out.setdefault("id", new_id())
+    out["id"] = safe_id(out.get("id") or new_id())
     return out
 
 

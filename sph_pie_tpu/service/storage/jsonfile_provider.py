@@ -55,8 +55,14 @@ class JsonFileProvider:
         }
 
     # -- document IO -------------------------------------------------------
+    def _path(self, folder: str, run_id) -> Path:
+        # Defense in depth: normalize_run already rejects unsafe ids, but
+        # every filesystem touch re-validates so no call path can traverse
+        # outside the data directory.
+        return self.root / folder / f"{base.safe_id(run_id)}.json"
+
     def _write(self, folder: str, run: dict):
-        path = self.root / folder / f"{run['id']}.json"
+        path = self._path(folder, run["id"])
         tmp = path.with_suffix(".tmp")
         tmp.write_text(json.dumps(run))
         tmp.replace(path)
@@ -71,7 +77,10 @@ class JsonFileProvider:
         return out
 
     def _read(self, folder: str, run_id: str) -> dict | None:
-        p = self.root / folder / f"{run_id}.json"
+        try:
+            p = self._path(folder, run_id)
+        except base.ValidationError:
+            return None
         if not p.exists():
             return None
         try:
@@ -80,7 +89,10 @@ class JsonFileProvider:
             return None
 
     def _remove(self, folder: str, run_id: str):
-        (self.root / folder / f"{run_id}.json").unlink(missing_ok=True)
+        try:
+            self._path(folder, run_id).unlink(missing_ok=True)
+        except base.ValidationError:
+            pass  # hostile id: nothing of ours can exist at such a path
 
     # -- run CRUD ----------------------------------------------------------
     def list_runs(self) -> list[dict]:

@@ -48,7 +48,11 @@ def save_state(
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8
     )
-    tmp = path.with_suffix(".tmp.npz")
+    # Dot-prefixed temp name: must NOT match the manager's 'ckpt_*.npz'
+    # glob, or a crash between savez and rename leaves a file whose stem
+    # breaks the rotation sort forever. Ends in .npz so numpy doesn't
+    # append another extension.
+    tmp = path.parent / f".{path.stem}.tmp.npz"
     np.savez_compressed(tmp, **arrays)
     tmp.replace(path)
     return path
@@ -86,10 +90,13 @@ class CheckpointManager:
         self.keep = keep
 
     def _all(self) -> list[Path]:
-        return sorted(
-            self.dir.glob("ckpt_*.npz"),
-            key=lambda p: int(p.stem.split("_")[1]),
-        )
+        found = []
+        for p in self.dir.glob("ckpt_*.npz"):
+            try:
+                found.append((int(p.stem.split("_")[1]), p))
+            except ValueError:
+                continue  # stray non-checkpoint file; never break rotation
+        return [p for _, p in sorted(found)]
 
     def save(self, state, params=None, step: int = 0, extra=None) -> Path:
         path = save_state(self.dir / f"ckpt_{step}.npz", state, params, step, extra)
