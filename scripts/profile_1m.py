@@ -1,22 +1,139 @@
-import time, jax, jax.numpy as jnp
-print("waiting for device...", flush=True)
-t0 = time.time()
-x = jnp.ones((8,8)); jax.block_until_ready(x + 1)
-print(f"device ok after {time.time()-t0:.0f}s", flush=True)
+"""Profile the 1M 3D dam break: occupancy stats + phase timings.
+
+Run on the real TPU:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_1m.py [N]
+
+Outputs JSON lines with, per 50-step chunk: wall ms/step, cell-occupancy
+max/p99/mean-over-occupied, occupied cell fraction, occupied 256-cell
+block fraction. Plus one-off density/forces/rebin phase timings.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sph_pie_tpu.neighbors import binned as nb
 from sph_pie_tpu.scenes import dam_break_3d
 from sph_pie_tpu.solvers import wcsph_binned
-t0=time.time()
-scene = dam_break_3d(1_000_000)
-g = scene.bgrid
-print(f"scene built {time.time()-t0:.1f}s N={int(scene.state.n_active())} cells={g.num_cells} cap={g.cap} slots={g.num_slots/1e6:.1f}M block={g.block_cells}", flush=True)
-t0=time.time()
-b = scene.binned_state(); jax.block_until_ready(b.pos)
-print(f"bin {time.time()-t0:.1f}s overflow={int(b.overflow)}", flush=True)
-t0=time.time()
-b = wcsph_binned.simulate(scene.params, g, b, 1); jax.block_until_ready(b.pos)
-print(f"compile+1 {time.time()-t0:.1f}s", flush=True)
-t0=time.time()
-b = wcsph_binned.simulate(scene.params, g, b, 10); jax.block_until_ready(b.pos)
-w = time.time()-t0
-print(f"10 steps {w:.1f}s -> {w/10*1e3:.0f} ms/step -> {int(scene.state.n_active())*10/w:.3g} ps/s overflow={int(b.overflow)}", flush=True)
-print("DONE", flush=True)
+
+
+def sync(x):
+    return float(np.asarray(jax.device_get(x)))
+
+
+def occupancy_stats(grid, b):
+    counts = jnp.sum(
+        b.valid.reshape(grid.num_cells, grid.cap).astype(jnp.int32), axis=1
+    )
+    blk = grid.block_cells or grid.num_cells
+    nblk = -(-grid.num_cells // blk)
+    pad = nblk * blk - grid.num_cells
+    bc = jnp.concatenate([counts, jnp.zeros((pad,), jnp.int32)]).reshape(nblk, blk)
+    block_occ = jnp.sum(bc, axis=1) > 0
+    c = np.asarray(counts)
+    occ = c[c > 0]
+    bmax = np.asarray(jnp.max(bc, axis=1))
+    occupied_blocks = bmax > 0
+    return {
+        "max_occ": int(occ.max()) if occ.size else 0,
+        "p99_occ": float(np.percentile(occ, 99)) if occ.size else 0,
+        "p999_occ": float(np.percentile(occ, 99.9)) if occ.size else 0,
+        "mean_occ": float(occ.mean()) if occ.size else 0,
+        "occupied_cells_frac": float((c > 0).mean()),
+        "occupied_blocks_frac": float(np.asarray(block_occ).mean()),
+        # tier decision data: of occupied blocks, how many have a cell
+        # above each candidate tier boundary?
+        "blocks_over_16": float((bmax > 16).sum() / max(occupied_blocks.sum(), 1)),
+        "blocks_over_24": float((bmax > 24).sum() / max(occupied_blocks.sum(), 1)),
+        "blocks_over_28": float((bmax > 28).sum() / max(occupied_blocks.sum(), 1)),
+        "overflow": int(np.asarray(b.overflow)),
+    }
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    scene = dam_break_3d(n_target=n)
+    g = scene.bgrid
+    print(
+        json.dumps(
+            {
+                "n": scene.state.capacity,
+                "dims": g.dims,
+                "num_cells": g.num_cells,
+                "cap": g.cap,
+                "block_cells": g.block_cells,
+                "num_slots": g.num_slots,
+                "cell_size": g.cell_size,
+                "h": float(scene.params.h),
+            }
+        ),
+        flush=True,
+    )
+    b = scene.binned_state()
+
+    # phase timings on the initial state
+    dens = jax.jit(lambda bb: wcsph_binned._density(scene.params, g, bb))
+    rho = dens(b)
+    sync(rho[0])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        rho = dens(b)
+    sync(rho[0])
+    t_dens = (time.perf_counter() - t0) / 3
+
+    from sph_pie_tpu.kernels import eos
+    from sph_pie_tpu.utils.struct import replace as srep
+
+    b2 = srep(b, density=rho, pressure=eos.tait_pressure(scene.params, rho))
+    frc = jax.jit(lambda bb: wcsph_binned._forces(scene.params, g, bb))
+    acc, xs = frc(b2)
+    sync(acc[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        acc, xs = frc(b2)
+    sync(acc[0, 0])
+    t_frc = (time.perf_counter() - t0) / 3
+
+    rb = jax.jit(lambda bb: nb.rebin(g, bb))
+    o = rb(b)
+    sync(o.pos[0, 0])
+    t0 = time.perf_counter()
+    for _ in range(3):
+        o = rb(b)
+    sync(o.pos[0, 0])
+    t_rebin = (time.perf_counter() - t0) / 3
+
+    print(
+        json.dumps(
+            {
+                "density_ms": round(t_dens * 1e3, 2),
+                "forces_ms": round(t_frc * 1e3, 2),
+                "rebin_ms": round(t_rebin * 1e3, 2),
+            }
+        ),
+        flush=True,
+    )
+
+    # rolling run: occupancy + ms/step every 50 steps
+    sim = jax.jit(
+        lambda bb, k: wcsph_binned.simulate(scene.params, g, bb, k),
+        static_argnums=(),
+    )
+    b = sim(b, 1)  # compile
+    sync(b.pos[0, 0])
+    for chunk in range(20):
+        t0 = time.perf_counter()
+        b = sim(b, 50)
+        sync(b.pos[0, 0])
+        dt_ms = (time.perf_counter() - t0) * 1e3 / 50
+        stats = occupancy_stats(g, b)
+        stats.update({"step": (chunk + 1) * 50, "ms_per_step": round(dt_ms, 2)})
+        print(json.dumps(stats), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -109,8 +109,9 @@ extern "C" void sph_oracle_run(int dim, int n, int steps, double* pos,
         const double* vj = vel + j * dim;
         double xw = 0.0;
         if (use_xsph) {
+          // m_j/rho_j weighting (mirrors solvers/wcsph.py pair loop)
           const double q = h2 - r2;
-          xw = 2.0 * m_j / (rho[i] + rho[j]) * poly6_c * q * q * q;
+          xw = m_j / rho[j] * poly6_c * q * q * q;
         }
         for (int k = 0; k < dim; ++k) {
           const double dv = vj[k] - vi[k];

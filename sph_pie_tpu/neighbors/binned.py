@@ -153,6 +153,10 @@ class BinnedState:
     slot_of: jax.Array   # [K] int32 — particle k's slot; num_slots if absent.
                          # Keeps rebin/unbin O(K): compact-gather K rows, sort
                          # K keys, scatter K rows (never O(S) scatters).
+    bin_pos: jax.Array   # [S, dim] positions AT BIN TIME: the anchor for the
+                         # true-displacement rebin trigger (the accumulated
+                         # sum-of-max-speeds bound alone over-triggers ~2-4x
+                         # in oscillatory late-stage flow)
     travel: jax.Array    # [] upper bound on per-particle displacement since bin
     overflow: jax.Array  # [] int32 — particles dropped because a cell overflowed
 
@@ -175,37 +179,66 @@ def _bin_rows(grid: BinnedGrid, pos, vel, mass, owner, valid) -> BinnedState:
 
     ``owner`` must be the particle index of each row (rows are the compact
     particle arrays), so K == grid.max_particles.
+
+    TPU cost notes (measured v5e, 1M rows): a single multi-operand
+    ``lax.sort`` that carries every payload column with the key costs
+    ~22 ms — the round-1 argsort + per-field gathers cost ~260 ms, and its
+    ``searchsorted`` rank another ~170 ms (replaced here by a cummax scan
+    over change-points, ~5 ms). The remaining cost is the dense scatters.
     """
     n = pos.shape[0]
+    dim = grid.dim
     cid = _cell_ids(grid, pos, valid)
-    order = jnp.argsort(cid).astype(jnp.int32)
-    sorted_cid = cid[order]
-    # rank within cell = position in sort - first position of this cell
-    first = jnp.searchsorted(sorted_cid, sorted_cid, side="left")
-    rank = jnp.arange(n, dtype=jnp.int32) - first.astype(jnp.int32)
-    fits = (rank < grid.cap) & (sorted_cid < grid.num_cells)
+
+    # One sort, all payloads riding with the key.
+    ops = (
+        (cid,)
+        + tuple(pos[:, k] for k in range(dim))
+        + tuple(vel[:, k] for k in range(dim))
+        + (mass, owner)
+    )
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    scid = sorted_ops[0]
+    spos = sorted_ops[1 : 1 + dim]
+    svel = sorted_ops[1 + dim : 1 + 2 * dim]
+    smass = sorted_ops[1 + 2 * dim]
+    sowner = sorted_ops[2 + 2 * dim]
+
+    # rank within cell = i - (index of this cell's first row), where the
+    # first-row index is the running max over change-point markers.
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), jnp.bool_), scid[1:] != scid[:-1]]
+    )
+    first = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_start, iota, 0)
+    )
+    rank = iota - first
+    fits = (rank < grid.cap) & (scid < grid.num_cells)
     # NOTE: scatter mode="drop" WRAPS negative indices (verified on this
     # jax version), so the drop sentinel must be past-the-end, not -1.
-    slot = jnp.where(fits, sorted_cid * grid.cap + rank, grid.num_slots)
+    slot = jnp.where(fits, scid * grid.cap + rank, grid.num_slots)
 
     S = grid.num_slots
     dt = pos.dtype
-    sorted_owner = owner[order]
 
-    def scat(init, rows):
-        return init.at[slot].set(rows, mode="drop")
+    def scat(rows):
+        return jnp.zeros((S,), rows.dtype).at[slot].set(rows, mode="drop")
 
+    pos_d = jnp.stack([scat(c) for c in spos], axis=-1)
+    mass_d = scat(smass)
     out = BinnedState(
-        pos=scat(jnp.zeros((S, grid.dim), dt), pos[order]),
-        vel=scat(jnp.zeros((S, grid.dim), dt), vel[order]),
-        mass=scat(jnp.zeros((S,), dt), mass[order]),
+        pos=pos_d,
+        vel=jnp.stack([scat(c) for c in svel], axis=-1),
+        mass=mass_d,
         density=jnp.zeros((S,), dt),
         pressure=jnp.zeros((S,), dt),
-        valid=scat(jnp.zeros((S,), jnp.bool_), fits),
-        owner=jnp.full((S,), -1, jnp.int32).at[slot].set(sorted_owner, mode="drop"),
-        slot_of=jnp.full((n,), S, jnp.int32).at[sorted_owner].set(
-            slot, mode="drop"
-        ),
+        # Real particles have strictly positive mass (lattice_mass > 0),
+        # empty slots scatter to 0 — validity is derivable, no bool scatter.
+        valid=mass_d > 0,
+        owner=jnp.full((S,), -1, jnp.int32).at[slot].set(sowner, mode="drop"),
+        slot_of=jnp.full((n,), S, jnp.int32).at[sowner].set(slot, mode="drop"),
+        bin_pos=pos_d,
         travel=jnp.zeros((), dt),
         overflow=jnp.sum(
             (cid < grid.num_cells).astype(jnp.int32)
@@ -372,23 +405,38 @@ def slab_fold(
     def tail(x):
         return x.shape[1:]
 
+    # Per-block occupancy, computed once and vectorized (one O(S) pass)
+    # BEFORE the scan. Empty home blocks (no particles -> all masses 0)
+    # produce no output; with the gravity axis leading, the fluid-free part
+    # of the domain is a contiguous run of such blocks. The cond below
+    # executes only the taken branch, AND the window dynamic_slices live
+    # inside it — a skipped block costs neither compute nor the HBM reads
+    # of its field windows (round 1 sliced before the cond, so every
+    # skipped block still streamed ~win_cells*cap rows of every field).
+    use_skip = grid.skip_empty_blocks and nblk > 1 and "mass" in fields
+    if use_skip:
+        m = fields["mass"]
+        tail_rows = nblk * blk * cap - C * cap
+        mflat = jnp.concatenate([m, jnp.zeros((tail_rows,), m.dtype)]) if tail_rows else m
+        blk_occ = jnp.any((mflat > 0).reshape(nblk, blk * cap), axis=1)
+
     def body(_, b):
-        start = b * (blk * cap)
-        win = {
-            k: lax.dynamic_slice_in_dim(v, start, win_cells * cap, axis=0)
-            for k, v in padded.items()
-        }
-        home = {
-            k: w[padc * cap : (padc + blk) * cap].reshape(
-                (blk, cap) + tail(w)
-            )
-            for k, w in win.items()
-        }
         zero = jax.tree.map(
             lambda a: jnp.zeros((blk, cap) + tail(a), a.dtype), init
         )
 
         def compute(_):
+            start = b * (blk * cap)
+            win = {
+                k: lax.dynamic_slice_in_dim(v, start, win_cells * cap, axis=0)
+                for k, v in padded.items()
+            }
+            home = {
+                k: w[padc * cap : (padc + blk) * cap].reshape(
+                    (blk, cap) + tail(w)
+                )
+                for k, w in win.items()
+            }
             carry = zero
             for sh in shifts:
                 base = (padc + sh - 1) * cap
@@ -399,13 +447,8 @@ def slab_fold(
                 carry = pair_fn(carry, home, slab)
             return carry
 
-        if grid.skip_empty_blocks and nblk > 1 and "mass" in home:
-            # Empty home blocks (no particles -> all masses 0) produce no
-            # output; with the gravity axis leading, the fluid-free part of
-            # the domain is a contiguous run of such blocks. A TPU cond
-            # executes only the taken branch, so those blocks cost ~zero.
-            occupied = jnp.any(home["mass"] > 0)
-            carry = lax.cond(occupied, compute, lambda _: zero, None)
+        if use_skip:
+            carry = lax.cond(blk_occ[b], compute, lambda _: zero, None)
         else:
             carry = compute(None)
         return None, carry

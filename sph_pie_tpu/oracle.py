@@ -103,7 +103,7 @@ class OracleSim:
         coh = _cohesion(dim, h, r)
         acc -= self.st * np.sum((m_j * coh)[..., None] * rhat, axis=1)
 
-        xw = np.where(live, 2.0 * mass[None, :] / (rho[:, None] + rho[None, :]) * w, 0.0)
+        xw = np.where(live, mass[None, :] * inv_rho_j * w, 0.0)
         xsph = np.sum(xw[..., None] * dv, axis=1)
 
         # --- gravity + boundary penalty (damping ramps over 0.1h; see

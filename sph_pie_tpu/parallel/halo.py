@@ -110,8 +110,6 @@ def make_halo_step(mesh: Mesh, params, grid: nb.BinnedGrid, obstacles=None):
             "m_rho": mass * inv_rho,
             "inv_rho": inv_rho,
         }
-        if params.use_xsph:
-            force_fields["rho"] = rho
         halo = _exchange_fields(axis, n, halo_rows, force_fields)
         acc, xsph = wcsph_binned._forces(
             params, grid, v, halo=halo, local_cells=c_loc

