@@ -30,7 +30,7 @@ from sph_pie_tpu.service.config_store import ConfigStore
 from sph_pie_tpu.service.rbac import RoleConfig, is_operator_only, user_has_role
 from sph_pie_tpu.service.sessions import COOKIE_NAME, SessionStore
 from sph_pie_tpu.service.storage import ProviderRegistry
-from sph_pie_tpu.service.storage.base import ConflictError, ValidationError
+from sph_pie_tpu.service.storage.base import ConflictError, ValidationError, now_ms
 from sph_pie_tpu.service.users import UserStore
 from sph_pie_tpu.service.webhook import WebhookDispatcher
 
@@ -520,20 +520,74 @@ def make_handler(app: App):
                     ctype="application/json",
                 )
 
-        def ep_webhook_simulate(self, qs):
-            """Admin fire drill: replay up to 3 recent archived runs with
-            >= 6 recorded steps through the webhook (the reference's
-            simulate-month endpoint, index.js:352-486)."""
+        def ep_webhook_status(self, qs):
+            self._require_auth()
+            self._send(200, {"webhook": app.webhook.get_status()})
+
+        def ep_webhook_preview(self, qs):
+            """Live payload preview for the webhook modal (reference:
+            updateWebhookPreview, public/app.js:5946-6003): the exact
+            headers + schema-v2 envelope the dispatcher would send, built
+            from the newest real run or a sample."""
             self._require_roles()
             provider = app.registry.get_provider()
+            runs = provider.list_runs() or provider.list_archived_runs()
+            sample = (
+                runs[-1]
+                if runs
+                else {
+                    "id": "sample-run",
+                    "name": "sample-run",
+                    "scene": "dam_break_2d",
+                    "runDate": "2026-01-01",
+                    "steps": [
+                        {
+                            "id": "s1",
+                            "step": 50,
+                            "kinetic_energy": 1.25,
+                            "max_speed": 0.8,
+                            "operator": "Operator",
+                        }
+                    ],
+                    "createdAt": now_ms(),
+                    "updatedAt": now_ms(),
+                }
+            )
+            headers = dict(app.webhook._headers())
+            if headers.get("Authorization"):
+                headers["Authorization"] = "Bearer ***"
+            self._send(
+                200,
+                {
+                    "headers": headers,
+                    "payload": app.webhook.build_payload("run.archived", sample),
+                },
+            )
+
+        def ep_webhook_simulate(self, qs):
+            """Admin fire drill mirroring the reference's simulate-month
+            selection exactly (index.js:406-486): candidates are archived
+            runs inside a 30-day window with >= 6 recorded steps, the 3
+            most recent are replayed, and each sends at most 6 step records
+            per run."""
+            self._require_roles()
+            provider = app.registry.get_provider()
+            window_ms = 30 * 24 * 3600 * 1000
+            cutoff = now_ms() - window_ms
             candidates = [
-                r for r in provider.list_archived_runs()[:90]
+                r
+                for r in provider.list_archived_runs()  # already newest-first
                 if len(r.get("steps", [])) >= 6
+                and (r.get("archivedAt") or r.get("createdAt") or 0) >= cutoff
             ][:3]
-            results = [
-                app.webhook.dispatch_archive_event(r, {"source": "simulation"})
-                for r in candidates
-            ]
+            results = []
+            for r in candidates:
+                capped = dict(r, steps=r.get("steps", [])[:6])
+                results.append(
+                    app.webhook.dispatch_archive_event(
+                        capped, {"source": "simulation", "window_days": 30}
+                    )
+                )
             self._send(
                 200,
                 {
@@ -566,16 +620,33 @@ def make_handler(app: App):
                 # (index.js:53,293-302).
                 self._require_roles()  # admin only
                 url = override
+            provider = app.registry.get_provider()
             if not url:
-                self._send(200, {"events": [], "detail": "no feed configured"})
+                self._send(
+                    200,
+                    {
+                        "events": provider.list_calendar_events(),
+                        "detail": "no feed configured",
+                    },
+                )
                 return
             if urlparse(url).scheme not in ("http", "https"):
                 raise HttpError(400, "calendar feed URL must be http(s)")
+            # Sync-then-list with a persisted mirror (reference stores
+            # events with upsert+prune, sqlProvider.js:940-968); a feed
+            # outage degrades to serving the last good sync.
             try:
                 events = calendar_feed.fetch_calendar_feed(url)
             except Exception as e:
-                raise HttpError(502, f"feed fetch failed: {e}")
-            self._send(200, {"events": events})
+                stored = provider.list_calendar_events()
+                if override:
+                    raise HttpError(502, f"feed fetch failed: {e}")
+                self._send(
+                    200, {"events": stored, "detail": f"stale (fetch failed: {e})"}
+                )
+                return
+            provider.sync_calendar_events(events)
+            self._send(200, {"events": provider.list_calendar_events()})
 
         def ep_static(self, qs):
             """Static viewer shell (the reference serves public/ + SPA
@@ -653,6 +724,8 @@ def make_handler(app: App):
             },
         ),
         (r"/api/webhook/simulate", {"POST": Handler.ep_webhook_simulate}),
+        (r"/api/webhook/status", {"GET": Handler.ep_webhook_status}),
+        (r"/api/webhook/preview", {"GET": Handler.ep_webhook_preview}),
         (r"/api/events", {"GET": Handler.ep_events}),
         (r"/api/scenes/([^/]+)/preview\.png", {"GET": Handler.ep_preview}),
         (r"/api/calendar", {"GET": Handler.ep_calendar}),

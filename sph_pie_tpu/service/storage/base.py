@@ -147,10 +147,24 @@ def is_expired(archived_run: dict, retention_months: float, now=None) -> bool:
     return now - created >= retention_months * _MONTH_S * 1000
 
 
+def normalize_calendar_event(ev: dict) -> dict:
+    """Minimal calendar-event shape (reference: calendarFeed.js:52-80 +
+    sqlProvider upsert columns :940-968)."""
+    if not isinstance(ev, dict) or not ev.get("id"):
+        raise ValidationError("calendar event needs an id")
+    out = dict(ev)
+    out["id"] = str(out["id"])[:128]
+    out.setdefault("title", "")
+    out.setdefault("start", None)
+    out.setdefault("end", None)
+    return out
+
+
 MUTATORS = (
     "create_run", "update_run", "replace_run", "delete_run",
     "add_step", "update_step", "delete_step",
     "archive_run_now", "run_archive_maintenance",
+    "sync_calendar_events",
 )
 
 

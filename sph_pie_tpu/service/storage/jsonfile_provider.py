@@ -175,6 +175,34 @@ class JsonFileProvider:
         self._write("active", run)
         return run
 
+    # -- calendar events (persisted feed mirror) ----------------------------
+    def _calendar_path(self) -> Path:
+        return self.root / "calendar.json"
+
+    def list_calendar_events(self) -> list[dict]:
+        p = self._calendar_path()
+        if not p.exists():
+            return []
+        try:
+            events = json.loads(p.read_text())
+        except (json.JSONDecodeError, OSError):
+            return []
+        return sorted(events, key=lambda e: e.get("start") or 0)
+
+    def sync_calendar_events(self, events: list[dict]) -> dict:
+        """Upsert + prune against the fetched feed (same contract as the
+        sqlite engine; reference: sqlProvider.js:940-968)."""
+        events = [base.normalize_calendar_event(e) for e in events]
+        existing = {e["id"]: e for e in self.list_calendar_events()}
+        keep_ids = {e["id"] for e in events}
+        pruned = sum(1 for eid in existing if eid not in keep_ids)
+        merged = {e["id"]: e for e in events}
+        p = self._calendar_path()
+        tmp = p.with_suffix(".tmp")
+        tmp.write_text(json.dumps(list(merged.values())))
+        tmp.replace(p)
+        return {"upserted": len(events), "pruned": pruned}
+
     # -- archive -----------------------------------------------------------
     def list_archived_runs(self) -> list[dict]:
         self.run_archive_maintenance()

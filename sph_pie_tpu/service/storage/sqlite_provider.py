@@ -30,6 +30,11 @@ _SCHEMA = {
         " id TEXT PRIMARY KEY, data TEXT NOT NULL, run_date TEXT,"
         " created_at INTEGER, archived_at INTEGER, deleted_at INTEGER)"
     ),
+    "calendar_events": (
+        "CREATE TABLE IF NOT EXISTS calendar_events ("
+        " id TEXT PRIMARY KEY, data TEXT NOT NULL,"
+        " start_ts INTEGER, end_ts INTEGER, created_at INTEGER)"
+    ),
 }
 
 
@@ -234,6 +239,44 @@ class SqliteProvider:
                 archived_at if deleted else None,
             ),
         )
+
+    # -- calendar events (persisted feed mirror) ----------------------------
+    def list_calendar_events(self) -> list[dict]:
+        """Stored feed mirror (reference: listCalendarEvents,
+        sqlProvider.js:274-279) — served even when the upstream feed is
+        unreachable."""
+        rows = self._db.execute(
+            "SELECT data FROM calendar_events ORDER BY start_ts"
+        ).fetchall()
+        out = []
+        for (data,) in rows:
+            try:
+                out.append(json.loads(data))
+            except json.JSONDecodeError:
+                continue
+        return out
+
+    def sync_calendar_events(self, events: list[dict]) -> dict:
+        """Upsert the fetched feed + prune events that left it
+        (reference: syncCalendarEvents, sqlProvider.js:940-968)."""
+        events = [base.normalize_calendar_event(e) for e in events]
+        keep_ids = {e["id"] for e in events}
+        ts = now_ms()
+        for e in events:
+            self._db.execute(
+                "INSERT INTO calendar_events(id, data, start_ts, end_ts,"
+                " created_at) VALUES(?,?,?,?,?) "
+                "ON CONFLICT(id) DO UPDATE SET data=excluded.data,"
+                " start_ts=excluded.start_ts, end_ts=excluded.end_ts",
+                (e["id"], json.dumps(e), e.get("start"), e.get("end"), ts),
+            )
+        pruned = 0
+        for (eid,) in self._db.execute("SELECT id FROM calendar_events"):
+            if eid not in keep_ids:
+                self._db.execute("DELETE FROM calendar_events WHERE id=?", (eid,))
+                pruned += 1
+        self._db.commit()
+        return {"upserted": len(events), "pruned": pruned}
 
     def run_archive_maintenance(self, now=None) -> dict:
         """Auto-archive stale date groups + purge expired archives.

@@ -152,3 +152,25 @@ def test_concurrent_step_writes_do_not_lose_updates(provider):
     t1.start(); t2.start(); t1.join(); t2.join()
     got = provider.get_run(run["id"])
     assert len(got["steps"]) == 40
+
+
+def test_calendar_persistence_upsert_prune(provider):
+    """Persisted feed mirror: upsert + prune (sqlProvider.js:940-968)."""
+    e1 = {"id": "ev-1", "title": "WOZ #12", "start": 1000, "end": 2000}
+    e2 = {"id": "ev-2", "title": "EAGLES #3", "start": 3000, "end": 4000}
+    r = provider.sync_calendar_events([e1, e2])
+    assert r == {"upserted": 2, "pruned": 0}
+    assert [e["id"] for e in provider.list_calendar_events()] == ["ev-1", "ev-2"]
+    # update one, drop one -> upsert + prune
+    e2b = dict(e2, title="EAGLES #4")
+    r = provider.sync_calendar_events([e2b])
+    assert r["pruned"] == 1
+    evs = provider.list_calendar_events()
+    assert len(evs) == 1 and evs[0]["title"] == "EAGLES #4"
+
+
+def test_calendar_survives_reinit(provider):
+    provider.sync_calendar_events([{"id": "x", "title": "t", "start": 1}])
+    provider.dispose()
+    provider.init()
+    assert provider.list_calendar_events()[0]["id"] == "x"
