@@ -116,22 +116,34 @@ def scene_from_spec(spec: dict, dtype=jnp.float32) -> Scene:
     emitter = None
     ems = spec.get("emitters", [])
     if ems:
-        e = ems[0]  # one stream per scene for now; schedule slots are shared
-        emitter = em_lib.plan_stream(
-            start_index=len(pos),
-            capacity=capacity,
-            dim=dim,
-            nozzle_lo=e["nozzle_lo"],
-            nozzle_hi=e["nozzle_hi"],
-            direction=e["direction"],
-            speed=float(e["speed"]),
-            dx=dx,
-            mass=mass,
-            dt=dt,
-            t_start=float(e.get("t_start", 0.0)),
-            t_end=float(e.get("t_end", float("inf"))),
-            dtype=dtype,
-        )
+        # Every emitter gets a disjoint slot range: an explicit "slots"
+        # budget per emitter, else an equal share of free capacity.
+        free = capacity - len(pos)
+        default_share = max(free // len(ems), 0)
+        plans, cursor = [], len(pos)
+        for e in ems:
+            share = int(e.get("slots", default_share))
+            share = min(share, capacity - cursor)
+            plans.append(
+                em_lib.plan_stream(
+                    start_index=cursor,
+                    capacity=capacity,
+                    dim=dim,
+                    nozzle_lo=e["nozzle_lo"],
+                    nozzle_hi=e["nozzle_hi"],
+                    direction=e["direction"],
+                    speed=float(e["speed"]),
+                    dx=dx,
+                    mass=mass,
+                    dt=dt,
+                    t_start=float(e.get("t_start", 0.0)),
+                    t_end=float(e.get("t_end", float("inf"))),
+                    n_slots=share,
+                    dtype=dtype,
+                )
+            )
+            cursor += share
+        emitter = em_lib.merge_schedules(plans)
 
     return Scene(
         name=str(spec.get("name", "scene")),

@@ -52,6 +52,22 @@ def emit_due(
     )
 
 
+def merge_schedules(schedules: list[EmitterSchedule]) -> EmitterSchedule:
+    """Combine emitters occupying DISJOINT slot ranges into one schedule
+    (unused slots have spawn_step == -1, so an elementwise latest-wins
+    select is exact for disjoint plans)."""
+    out = schedules[0]
+    for s in schedules[1:]:
+        use = s.spawn_step >= 0
+        out = EmitterSchedule(
+            spawn_step=jnp.where(use, s.spawn_step, out.spawn_step),
+            spawn_pos=jnp.where(use[:, None], s.spawn_pos, out.spawn_pos),
+            spawn_vel=jnp.where(use[:, None], s.spawn_vel, out.spawn_vel),
+            spawn_mass=jnp.where(use, s.spawn_mass, out.spawn_mass),
+        )
+    return out
+
+
 def plan_stream(
     *,
     start_index: int,
@@ -66,6 +82,7 @@ def plan_stream(
     dt: float,
     t_start: float = 0.0,
     t_end: float = np.inf,
+    n_slots: int | None = None,
     dtype=jnp.float32,
 ) -> EmitterSchedule:
     """Continuous stream: rows of particles across the nozzle cross-section,
@@ -90,7 +107,8 @@ def plan_stream(
     per_row = row.shape[0]
     row_interval = max(1, int(round(dx / speed / dt)))
 
-    n_slots = capacity - start_index
+    budget = capacity - start_index
+    n_slots = budget if n_slots is None else min(int(n_slots), budget)
     n_rows = n_slots // per_row
     steps = []
     pos = []

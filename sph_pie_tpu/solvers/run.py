@@ -21,7 +21,7 @@ from sph_pie_tpu.scenes import emitter as em_lib
 from sph_pie_tpu.solvers import wcsph_binned
 
 
-@partial(jax.jit, static_argnames=("grid", "epoch_steps", "n_epochs"))
+@partial(jax.jit, static_argnames=("grid", "epoch_steps"))
 def run_epochs(
     params,
     grid: nb.BinnedGrid,
@@ -29,28 +29,33 @@ def run_epochs(
     emitter: em_lib.EmitterSchedule | None,
     obstacles,
     epoch_steps: int,
-    n_epochs: int,
+    n_epochs,
     start_step=0,
 ) -> ParticleState:
     """Run n_epochs * epoch_steps steps with emission between epochs.
 
-    ``start_step`` (dynamic scalar) offsets the emission clock so callers
-    can chain run_epochs calls (e.g. the service's live previews) without
-    recompiling per horizon."""
+    ``n_epochs`` and ``start_step`` are DYNAMIC scalars: every horizon
+    shares one compilation (a static epoch count meant each new horizon
+    recompiled the whole scan — measured as a 7x apparent slowdown of the
+    round-1 emitter bench, which was really compile time)."""
     capacity = state.capacity
     start_step = jnp.asarray(start_step, jnp.int32)
 
-    def epoch(st: ParticleState, e):
+    def epoch(e, carry):
+        st, overflow = carry
         if emitter is not None:
             st = em_lib.emit_due(st, emitter, start_step + e * epoch_steps)
         b = nb.bin_state(grid, st)
         b = wcsph_binned.simulate(params, grid, b, epoch_steps, obstacles)
-        return nb.unbin(grid, b, capacity), b.overflow
+        return nb.unbin(grid, b, capacity), jnp.maximum(overflow, b.overflow)
 
-    state, overflows = lax.scan(
-        epoch, state, jnp.arange(n_epochs, dtype=jnp.int32)
+    state, overflow = lax.fori_loop(
+        0,
+        jnp.asarray(n_epochs, jnp.int32),
+        epoch,
+        (state, jnp.zeros((), jnp.int32)),
     )
-    return state, jnp.max(overflows)
+    return state, overflow
 
 
 def run_scene(scene, n_steps: int, epoch_steps: int = 50):

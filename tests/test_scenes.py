@@ -93,3 +93,54 @@ def test_run_scene_plain_dam_break_matches_simulate():
     ).max()
     # bin/unbin round trips change nothing but summation order
     assert err < 1e-4
+
+
+def test_two_emitters_disjoint_slots_and_both_fire():
+    """Multiple emitters per scene (disjoint slot ranges, merged schedule)."""
+    import numpy as np
+
+    from sph_pie_tpu.scenes import config as scene_config
+    from sph_pie_tpu.solvers import run as run_lib
+
+    scene = scene_config.load_scene_file("config/scene-twin-jets-2d.json")
+    em = scene.emitter
+    steps = np.asarray(em.spawn_step)
+    poss = np.asarray(em.spawn_pos)
+    planned = steps >= 0
+    assert planned.sum() > 100
+    # both nozzles contribute: spawn x-positions cluster left and right
+    left = planned & (poss[:, 0] < 0.5)
+    right = planned & (poss[:, 0] > 0.5)
+    assert left.sum() > 20 and right.sum() > 20
+    # the delayed emitter starts later
+    assert steps[right].min() > steps[left].min()
+    st, overflow = run_lib.run_epochs(
+        scene.params, scene.bgrid, scene.state, scene.emitter,
+        scene.obstacles, 25, 8,
+    )
+    active = int(np.asarray(st.active).sum())
+    assert active > 50 and int(overflow) == 0
+    pos = np.asarray(st.pos)[np.asarray(st.active)]
+    assert (pos[:, 0] < 0.5).any() and (pos[:, 0] > 0.5).any()
+
+
+def test_adaptive_dt_reaches_t_end_and_respects_bounds():
+    import numpy as np
+
+    from sph_pie_tpu.scenes import dam_break_2d
+    from sph_pie_tpu.solvers import adaptive
+
+    scene = dam_break_2d(n_target=600)
+    t_end = 120 * float(scene.params.dt)
+    b, t, k, dt_last = adaptive.simulate_adaptive(
+        scene.params, scene.bgrid, scene.binned_state(), t_end
+    )
+    assert float(t) >= t_end - 1e-9
+    assert int(k) >= 120  # adaptive dt never exceeds the configured base dt
+    assert 0.05 * float(scene.params.dt) <= float(dt_last) <= float(scene.params.dt) + 1e-12
+    from sph_pie_tpu.neighbors import binned as nb
+
+    st = nb.unbin(scene.bgrid, b, scene.state.capacity)
+    pos = np.asarray(st.pos)[np.asarray(st.active)]
+    assert np.isfinite(pos).all()
+    assert int(np.asarray(b.overflow)) == 0
