@@ -19,9 +19,18 @@ DEFAULTS: dict = {
     "host": "127.0.0.1",
     "port": 8411,
     "unitLabel": "Particle",
-    "storageProvider": "sqlite",       # sqlite | jsonfile
+    "storageProvider": "sqlite",       # sqlite | jsonfile | piedb
     "sqlite": {"filename": "data/sph_pie.sqlite"},
     "jsonfile": {"directory": "data/runs"},
+    "piedb": {
+        # networked engine: empty host => spawn a local server on an
+        # ephemeral port (PIEDB_HOST/PIEDB_PORT/PIEDB_DATABASE env win;
+        # pool settings mirror the reference's pg pool defaults,
+        # configStore.js:20-22)
+        "database": "sph_pie",
+        "dataDir": "data/piedb",
+        "pool": {"max": 10},
+    },
     "archive": {
         "autoArchiveHours": 12,        # reference: 12 h after first run of a date
         "retentionMonths": 2,          # reference: 2-month archive retention

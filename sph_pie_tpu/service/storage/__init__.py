@@ -7,6 +7,8 @@ no module-level global (SURVEY.md §7.4).
 
 from __future__ import annotations
 
+import os
+
 from sph_pie_tpu.service.storage.base import ConflictError, ValidationError
 from sph_pie_tpu.service.storage.jsonfile_provider import JsonFileProvider
 from sph_pie_tpu.service.storage.sqlite_provider import SqliteProvider
@@ -16,8 +18,9 @@ _ALIASES = {
     "sqljs": "sqlite",       # legacy spelling accepted (reference default)
     "jsonfile": "jsonfile",
     "json": "jsonfile",
-    "postgres": "jsonfile",  # legacy configs fall to the second engine
-    "postgresql": "jsonfile",
+    "piedb": "piedb",        # networked engine (C++ server + pooled client)
+    "postgres": "piedb",     # legacy configs map to the networked engine
+    "postgresql": "piedb",
 }
 
 
@@ -42,7 +45,17 @@ class ProviderRegistry:
         )
         if self._provider is not None:
             self._provider.dispose()
-        cls = SqliteProvider if ptype == "sqlite" else JsonFileProvider
+        if ptype == "piedb":
+            from sph_pie_tpu.service.storage.piedb_provider import PieDbProvider
+
+            cls = PieDbProvider
+            # default to a locally-spawned server unless an address is
+            # configured (PIEDB_HOST env or explicit host in config)
+            if "host" not in opts and "PIEDB_HOST" not in os.environ:
+                opts.setdefault("spawn", True)
+                opts.setdefault("port", 0)
+        else:
+            cls = SqliteProvider if ptype == "sqlite" else JsonFileProvider
         self._provider = cls(opts, on_event=self.on_event).init()
         self._type = ptype
         return self._provider

@@ -20,7 +20,7 @@ from sph_pie_tpu.service.storage import (
 from sph_pie_tpu.service.storage.base import now_ms
 
 
-@pytest.fixture(params=["sqlite", "jsonfile"])
+@pytest.fixture(params=["sqlite", "jsonfile", "piedb"])
 def provider(request, tmp_path):
     events = []
 
@@ -29,12 +29,27 @@ def provider(request, tmp_path):
 
     if request.param == "sqlite":
         p = SqliteProvider({"filename": str(tmp_path / "t.sqlite")}, on_event)
-    else:
+    elif request.param == "jsonfile":
         p = JsonFileProvider({"directory": str(tmp_path / "runs")}, on_event)
+    else:
+        from sph_pie_tpu.service.storage.piedb_provider import build_server_binary
+
+        if build_server_binary() is None:
+            pytest.skip("no C++ toolchain for the piedb server")
+        p = PieDbProviderForTest(
+            {"spawn": True, "port": 0, "dataDir": str(tmp_path / "piedb")},
+            on_event,
+        )
     p.init()
     p.events = events
     yield p
     p.dispose()
+
+
+def PieDbProviderForTest(opts, on_event):
+    from sph_pie_tpu.service.storage.piedb_provider import PieDbProvider
+
+    return PieDbProvider(opts, on_event=on_event)
 
 
 def _mk(name="run-a", date="2026-08-16", **kw):
