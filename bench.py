@@ -88,24 +88,62 @@ def _measure_emitter(n_steps=500):
     }
 
 
-def _measure_pbf(n=100_000, steps=20):
-    """BASELINE config #4: incompressible PBF solver."""
+def _measure_pbf(n=100_000, steps=20, render=False):
+    """BASELINE config #4: incompressible PBF solver; with render=True the
+    on-device splat render runs INSIDE the timed loop every step (the
+    config reads "PBF/PCISPH 1M w/ on-device splat render")."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from sph_pie_tpu.render import splat as splat_lib
     from sph_pie_tpu.scenes import dam_break_3d
     from sph_pie_tpu.solvers import pbf
 
     scene = dam_break_3d(n)
     pp = pbf.make_pbf_params(iters=3)
+    grid = scene.bgrid
+
+    if render:
+
+        @jax.jit
+        def roll(b, k):
+            def body(_, carry):
+                bb, checksum = carry
+                bb = pbf.step(scene.params, grid, pp, bb)
+                frame = splat_lib.render_binned_u8(
+                    grid, bb, (256, 256), axis=1, gain=50.0
+                )
+                # consume the frame so the render cannot be dead-code'd
+                return bb, checksum + jnp.sum(frame.astype(jnp.uint32))
+
+            return lax.fori_loop(
+                0,
+                jnp.asarray(k, jnp.int32),
+                body,
+                (b, jnp.zeros((), jnp.uint32)),
+            )
+
+        def run(b, k):
+            b, checksum = roll(b, k)
+            return b
+    else:
+
+        def run(b, k):
+            return pbf.simulate(scene.params, grid, pp, b, k)
+
     b = scene.binned_state()
-    b = pbf.simulate(scene.params, scene.bgrid, pp, b, 2)
+    b = run(b, 2)
     _sync(b)
     t0 = time.time()
-    b = pbf.simulate(scene.params, scene.bgrid, pp, b, steps)
+    b = run(b, steps)
     _sync(b)
     wall = time.time() - t0
     n_act = int(scene.state.n_active())
     return {
         "n_particles": n_act,
         "steps": steps,
+        "render_in_loop": bool(render),
         "ms_per_step": round(wall / steps * 1e3, 4),
         "particle_steps_per_sec": n_act * steps / wall,
         "overflow": int(b.overflow),
@@ -122,6 +160,10 @@ def main() -> int:
     for key, fn in (
         ("emitter_2d_4k", _measure_emitter),
         ("pbf_3d_100k", _measure_pbf),
+        # BASELINE config #4 as written: PBF at 1M, with and without the
+        # on-device splat render inside the timed loop
+        ("pbf_3d_1m", lambda: _measure_pbf(1_000_000, 8, render=False)),
+        ("pbf_3d_1m_render", lambda: _measure_pbf(1_000_000, 8, render=True)),
     ):
         try:
             extra[key] = fn()

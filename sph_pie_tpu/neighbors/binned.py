@@ -38,6 +38,22 @@ from sph_pie_tpu.utils.struct import pytree_dataclass, replace
 
 Carry = TypeVar("Carry")
 
+_PALLAS_EXPAND: bool | None = None
+
+
+def _use_pallas_expand() -> bool:
+    """Experimental only (SPH_PIE_PALLAS_REBIN=1): in-graph XLA fuses the
+    same-index dense scatters into one pass (~25 ms of the 99 ms rebin at
+    1M), so the expansion kernel has little to win — and this Mosaic
+    toolchain rejects its small-block SMEM specs anyway. Kept for the
+    interpret-mode record."""
+    global _PALLAS_EXPAND
+    if _PALLAS_EXPAND is None:
+        import os
+
+        _PALLAS_EXPAND = os.environ.get("SPH_PIE_PALLAS_REBIN", "") == "1"
+    return _PALLAS_EXPAND
+
 
 @dataclasses.dataclass(frozen=True)
 class BinnedGrid:
@@ -55,6 +71,27 @@ class BinnedGrid:
                                # contiguous prefix of cell ids, so trailing
                                # blocks are empty and the fold skips them.
     skip_empty_blocks: bool = True
+    symmetric_fold: bool = False  # Newton's-3rd-law fold (slab_fold_sym).
+                               # MEASURED SLOWER on v5e at 1M (forces
+                               # 100->135 ms, density 36->47 ms): the dual
+                               # home+window reductions and the carry
+                               # write-back outweigh the ~1.8x pair-work
+                               # saving when lane padding already makes the
+                               # skipped slabs cheap. Kept for the record
+                               # and covered by an equivalence test.
+    n_boundary: int = 0        # trailing rows of the compact arrays that
+                               # are frozen boundary (ghost) particles:
+                               # they participate in every pair sum but
+                               # never integrate. max_particles includes
+                               # them; fluid rows are [0, max_particles -
+                               # n_boundary).
+    home_tier: int = 0         # if 0 < t < cap: home rows [t, cap) are
+                               # processed only for blocks that actually
+                               # contain a cell with occupancy > t. Lets
+                               # cap carry overflow headroom (rare crowded
+                               # cells) at ~zero cost: window lanes cover
+                               # the full cap either way (3*cap <= 128 is
+                               # one VPU lane tile), only home rows pay.
 
     @property
     def dim(self) -> int:
@@ -98,6 +135,8 @@ def binned_grid_from_bounds(
     block_cells: int | None = None,
     max_particles: int = 0,
     axis_order: tuple[int, ...] | None = None,
+    home_tier: int = 0,
+    margin_cells: int = 0,
 ) -> BinnedGrid:
     """Grid whose cells are h*(1+skin_frac) wide; rebin is needed only when
     a particle may have moved more than skin/2 since the last binning.
@@ -105,6 +144,14 @@ def binned_grid_from_bounds(
     ``block_cells`` bounds the pair-interaction temporaries to
     [block_cells, cap, 3cap] (the fold scans over blocks); auto-sized so a
     block's pair tensor stays ~8M elements (~32 MB f32) unless given.
+
+    ``margin_cells`` extends the interior past the domain AABB on every
+    side. Without it, particles that penetrate a penalty wall are CLIPPED
+    into the edge cell ring by ``_cell_ids`` — a deep pile-up then crowds
+    phantom occupancy into those cells until they overflow (measured: a 1M
+    dam break saturating any cap late in the run). Margin cells hold
+    penetrators at their true density; they are empty otherwise and the
+    fold's empty-block skip makes them nearly free.
     """
     skin = float(skin_frac) * float(h)
     cell = float(h) + skin
@@ -113,17 +160,20 @@ def binned_grid_from_bounds(
     dim = len(bmin)
     if axis_order is None:
         axis_order = tuple(range(dim))
+    m = int(margin_cells)
     dims = tuple(
-        max(1, int(math.ceil((bmax[a] - bmin[a]) / cell))) for a in axis_order
+        max(1, int(math.ceil((bmax[a] - bmin[a]) / cell)) + 2 * m)
+        for a in axis_order
     )
     grid = BinnedGrid(
         dims=dims,
-        origin=tuple(bmin[a] for a in axis_order),
+        origin=tuple(bmin[a] - m * cell for a in axis_order),
         cell_size=cell,
         cap=int(cap),
         skin=skin,
         max_particles=int(max_particles),
         axis_order=tuple(axis_order),
+        home_tier=int(home_tier) if 0 < home_tier < cap else 0,
     )
     if block_cells is None:
         # Small blocks win twice in 3D: finer empty-block skip granularity
@@ -222,21 +272,57 @@ def _bin_rows(grid: BinnedGrid, pos, vel, mass, owner, valid) -> BinnedState:
     S = grid.num_slots
     dt = pos.dtype
 
-    def scat(rows):
-        return jnp.zeros((S,), rows.dtype).at[slot].set(rows, mode="drop")
+    if _use_pallas_expand():
+        # Pallas expansion: per-cell VMEM copies instead of per-column XLA
+        # scatters (measured ~70-90 ms per scatter at 1M on v5e). Cell
+        # offsets come from one counts scatter-add + an exclusive cumsum.
+        from sph_pie_tpu.neighbors import pallas_rebin
 
-    pos_d = jnp.stack([scat(c) for c in spos], axis=-1)
-    mass_d = scat(smass)
+        count = (
+            jnp.zeros((grid.num_cells + 1,), jnp.int32)
+            .at[cid]
+            .add(1, mode="drop")[: grid.num_cells]
+        )
+        first_cell = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(count)[:-1].astype(jnp.int32)]
+        )
+        cols = list(spos) + list(svel) + [
+            smass,
+            jax.lax.bitcast_convert_type(sowner, jnp.float32),
+        ]
+        rows = jnp.stack(cols, axis=-1)
+        dense = pallas_rebin.expand(first_cell, count, rows, grid.cap)
+        pos_d = dense[:, : grid.dim]
+        vel_d = dense[:, grid.dim : 2 * grid.dim]
+        mass_d = dense[:, 2 * grid.dim]
+        owner_raw = jax.lax.bitcast_convert_type(
+            dense[:, 2 * grid.dim + 1], jnp.int32
+        )
+        valid_d = mass_d > 0
+        owner_d = jnp.where(valid_d, owner_raw, -1)
+    else:
+
+        def scat(rows):
+            return jnp.zeros((S,), rows.dtype).at[slot].set(rows, mode="drop")
+
+        pos_d = jnp.stack([scat(c) for c in spos], axis=-1)
+        vel_d = jnp.stack([scat(c) for c in svel], axis=-1)
+        mass_d = scat(smass)
+        valid_d = mass_d > 0
+        owner_d = jnp.full((S,), -1, jnp.int32).at[slot].set(
+            sowner, mode="drop"
+        )
+
     out = BinnedState(
         pos=pos_d,
-        vel=jnp.stack([scat(c) for c in svel], axis=-1),
+        vel=vel_d,
         mass=mass_d,
         density=jnp.zeros((S,), dt),
         pressure=jnp.zeros((S,), dt),
         # Real particles have strictly positive mass (lattice_mass > 0),
-        # empty slots scatter to 0 — validity is derivable, no bool scatter.
-        valid=mass_d > 0,
-        owner=jnp.full((S,), -1, jnp.int32).at[slot].set(sowner, mode="drop"),
+        # empty slots hold 0 — validity is derivable, no bool scatter.
+        valid=valid_d,
+        owner=owner_d,
         slot_of=jnp.full((n,), S, jnp.int32).at[sowner].set(slot, mode="drop"),
         bin_pos=pos_d,
         travel=jnp.zeros((), dt),
@@ -247,15 +333,50 @@ def _bin_rows(grid: BinnedGrid, pos, vel, mass, owner, valid) -> BinnedState:
     return out
 
 
-def bin_state(grid: BinnedGrid, state: ParticleState) -> BinnedState:
-    """ParticleState (flat, original order) -> dense binned layout."""
-    if grid.max_particles and state.capacity != grid.max_particles:
+def bin_state(
+    grid: BinnedGrid, state: ParticleState, boundary=None
+) -> BinnedState:
+    """ParticleState (flat, original order) -> dense binned layout.
+
+    ``boundary`` is an optional (pos [M, dim], mass [M]) pair of frozen
+    ghost particles appended after the fluid rows (M must equal
+    grid.n_boundary). They ride every rebin like fluid rows — their
+    positions simply never change — and solvers freeze them via
+    ``frozen_mask``.
+    """
+    n_fluid = (grid.max_particles or state.capacity) - grid.n_boundary
+    if grid.max_particles and state.capacity != n_fluid:
         raise ValueError(
-            f"state capacity {state.capacity} != grid.max_particles "
-            f"{grid.max_particles}"
+            f"state capacity {state.capacity} != fluid rows {n_fluid} "
+            f"(grid.max_particles {grid.max_particles}, "
+            f"n_boundary {grid.n_boundary})"
         )
-    owner = jnp.arange(state.capacity, dtype=jnp.int32)
-    return _bin_rows(grid, state.pos, state.vel, state.mass, owner, state.active)
+    pos, vel, mass, valid = state.pos, state.vel, state.mass, state.active
+    if grid.n_boundary:
+        if boundary is None:
+            raise ValueError(f"grid expects {grid.n_boundary} boundary rows")
+        bpos, bmass = boundary
+        if bpos.shape[0] != grid.n_boundary:
+            raise ValueError(
+                f"boundary rows {bpos.shape[0]} != grid.n_boundary {grid.n_boundary}"
+            )
+        pos = jnp.concatenate([pos, jnp.asarray(bpos, pos.dtype)])
+        vel = jnp.concatenate([vel, jnp.zeros_like(jnp.asarray(bpos, pos.dtype))])
+        mass = jnp.concatenate([mass, jnp.asarray(bmass, mass.dtype)])
+        valid = jnp.concatenate(
+            [valid, jnp.ones((grid.n_boundary,), jnp.bool_)]
+        )
+    owner = jnp.arange(pos.shape[0], dtype=jnp.int32)
+    return _bin_rows(grid, pos, vel, mass, owner, valid)
+
+
+def frozen_mask(grid: BinnedGrid, b: BinnedState) -> jax.Array:
+    """[S] bool: slot holds a frozen boundary particle (owner in the
+    trailing n_boundary compact rows)."""
+    if not grid.n_boundary:
+        return jnp.zeros_like(b.valid)
+    n_fluid = grid.max_particles - grid.n_boundary
+    return b.owner >= n_fluid
 
 
 def _compact(grid: BinnedGrid, b: BinnedState):
@@ -284,14 +405,17 @@ def rebin(grid: BinnedGrid, b: BinnedState) -> BinnedState:
 
 
 def unbin(grid: BinnedGrid, b: BinnedState, capacity: int) -> ParticleState:
-    """Dense layout -> flat original-order ParticleState. O(K) gathers."""
-    if b.slot_of.shape[0] != capacity:
+    """Dense layout -> flat original-order ParticleState (fluid rows only;
+    trailing boundary rows are grid-static and not part of the state)."""
+    if b.slot_of.shape[0] != capacity + grid.n_boundary:
         raise ValueError(
-            f"capacity {capacity} != particle capacity {b.slot_of.shape[0]}"
+            f"capacity {capacity} + boundary {grid.n_boundary} != "
+            f"particle rows {b.slot_of.shape[0]}"
         )
     S = grid.num_slots
-    safe = jnp.clip(b.slot_of, 0, S - 1)
-    alive = b.slot_of < S
+    slot_of = b.slot_of[:capacity]
+    safe = jnp.clip(slot_of, 0, S - 1)
+    alive = slot_of < S
     st = allocate(capacity, grid.dim, b.pos.dtype)
     zero2 = jnp.zeros((capacity, grid.dim), b.pos.dtype)
     m = alive[:, None]
@@ -414,11 +538,22 @@ def slab_fold(
     # of its field windows (round 1 sliced before the cond, so every
     # skipped block still streamed ~win_cells*cap rows of every field).
     use_skip = grid.skip_empty_blocks and nblk > 1 and "mass" in fields
-    if use_skip:
+    tier = (
+        grid.home_tier
+        if 0 < grid.home_tier < cap and "mass" in fields and halo is None
+        else 0
+    )
+    if use_skip or tier:
         m = fields["mass"]
         tail_rows = nblk * blk * cap - C * cap
         mflat = jnp.concatenate([m, jnp.zeros((tail_rows,), m.dtype)]) if tail_rows else m
-        blk_occ = jnp.any((mflat > 0).reshape(nblk, blk * cap), axis=1)
+        occ3 = (mflat > 0).reshape(nblk, blk, cap)
+        if use_skip:
+            blk_occ = jnp.any(occ3, axis=(1, 2))
+        if tier:
+            # rank `tier` occupied anywhere in the block <=> some cell
+            # holds more than `tier` particles (counting-sort rank order)
+            blk_hi = jnp.any(occ3[:, :, tier:], axis=(1, 2))
 
     def body(_, b):
         zero = jax.tree.map(
@@ -437,14 +572,39 @@ def slab_fold(
                 )
                 for k, w in win.items()
             }
-            carry = zero
-            for sh in shifts:
-                base = (padc + sh - 1) * cap
-                slab = {
-                    k: _window_view(w[base : base + (blk + 2) * cap], blk, cap)
-                    for k, w in win.items()
-                }
-                carry = pair_fn(carry, home, slab)
+
+            def run_rows(r0, r1):
+                hm = {k: h[:, r0:r1] for k, h in home.items()}
+                carry = jax.tree.map(
+                    lambda a: jnp.zeros((blk, r1 - r0) + tail(a), a.dtype),
+                    init,
+                )
+                for sh in shifts:
+                    base = (padc + sh - 1) * cap
+                    slab = {
+                        k: _window_view(w[base : base + (blk + 2) * cap], blk, cap)
+                        for k, w in win.items()
+                    }
+                    carry = pair_fn(carry, hm, slab)
+                return carry
+
+            t = tier or cap
+            carry = run_rows(0, t)
+            if tier:
+                hi = lax.cond(
+                    blk_hi[b],
+                    lambda _: run_rows(tier, cap),
+                    lambda _: jax.tree.map(
+                        lambda a: jnp.zeros(
+                            (blk, cap - tier) + tail(a), a.dtype
+                        ),
+                        init,
+                    ),
+                    None,
+                )
+                carry = jax.tree.map(
+                    lambda a, c: jnp.concatenate([a, c], axis=1), carry, hi
+                )
             return carry
 
         if use_skip:
@@ -463,6 +623,214 @@ def slab_fold(
 def halo_cells(grid: BinnedGrid) -> int:
     """Cells of halo each side a local fold needs (= max slab reach + 1)."""
     return max(abs(s) for s in grid.slab_shifts()) + 1
+
+
+def slab_fold_sym(
+    grid: BinnedGrid,
+    fields: dict[str, jax.Array],
+    pair_fn,
+    init: Carry,
+) -> Carry:
+    """Newton's-third-law fold: every pair is computed ONCE and accumulated
+    to both sides.
+
+    Slab selection: of the 3^(dim-1) leading-offset slabs, only those with
+    flat shift > 0 are visited with the full 3-cell window (the reverse
+    pair is exactly the one their home/window swap would produce), plus a
+    "self" slab with a 2-cell window (cells c, c+1) where the within-cell-c
+    pairs carry an upper-triangle mask. 3D: 4 full + 1 half slabs instead
+    of 9 (2D: 1 + 1 instead of 3) — ~1.8x less pair work for one extra
+    window-side accumulation.
+
+    ``pair_fn(home, win, mask)`` receives [blk, cap] home blocks and
+    [blk, W*cap] window blocks (W = 3 for shifted slabs, 2 for the self
+    slab; ``mask`` is None or a [1, cap, W*cap] pair mask) and returns
+    (h_delta, w_delta): pytrees of [blk, cap] home contributions and
+    [blk, W*cap] window contributions. Window contributions are folded
+    into the carry with static shifted adds; blocks overlap through the
+    halo rows, which is sound because lax.scan runs blocks sequentially.
+
+    Self-interaction (i == i) is excluded by the triangle mask — callers
+    that need a self term (density) add it as an O(S) elementwise pass.
+
+    NOTE single-device only: window contributions crossing shard
+    boundaries would need a reverse halo exchange; the multi-chip paths
+    keep using ``slab_fold``.
+    """
+    cap = grid.cap
+    C = grid.num_cells
+    shifts = grid.slab_shifts()
+    pos_shifts = [s for s in shifts if s > 0]
+    blk = grid.block_cells if grid.block_cells else C
+    blk = min(blk, C)
+    nblk = -(-C // blk)
+    padc = max(abs(s) for s in shifts) + 1
+    win_cells = blk + 2 * padc
+    pad_rows_total = (padc + nblk * blk + padc) * cap
+
+    def pad_rows(x):
+        front = jnp.zeros((padc * cap,) + x.shape[1:], x.dtype)
+        back = jnp.zeros(
+            ((padc + nblk * blk - C) * cap,) + x.shape[1:], x.dtype
+        )
+        return jnp.concatenate([front, x, back])
+
+    padded = {k: pad_rows(v) for k, v in fields.items()}
+
+    # static upper-triangle mask for the self slab: lanes [0, cap) are the
+    # home cell itself (pair once: rank_j > rank_i), lanes [cap, 2cap) the
+    # +1 neighbor (all pairs)
+    tri = jnp.concatenate(
+        [
+            jnp.triu(jnp.ones((cap, cap), bool), k=1),
+            jnp.ones((cap, cap), bool),
+        ],
+        axis=1,
+    )[None]
+
+    use_skip = grid.skip_empty_blocks and nblk > 1 and "mass" in fields
+    tier = grid.home_tier if 0 < grid.home_tier < cap and "mass" in fields else 0
+    if use_skip or tier:
+        m = fields["mass"]
+        tail_rows = nblk * blk * cap - C * cap
+        mflat = (
+            jnp.concatenate([m, jnp.zeros((tail_rows,), m.dtype)])
+            if tail_rows
+            else m
+        )
+        occ3 = (mflat > 0).reshape(nblk, blk, cap)
+        if use_skip:
+            blk_occ = jnp.any(occ3, axis=(1, 2))
+        if tier:
+            # counting sort fills ranks in order, so "any cell with
+            # occupancy > tier" == "any slot of rank >= tier occupied"
+            blk_hi = jnp.any(occ3[:, :, tier:], axis=(1, 2))
+
+    carry0 = jax.tree.map(lambda a: pad_rows(a), init)
+
+    def tail(x):
+        return x.shape[1:]
+
+    def win2_view(w):
+        # [blk, 2cap]: cells (c, c+1) — the self slab's window
+        n = blk * cap
+        a = w[padc * cap : padc * cap + n]
+        bpart = w[(padc + 1) * cap : (padc + 1) * cap + n]
+        return jnp.concatenate(
+            [a.reshape((blk, cap) + tail(w)), bpart.reshape((blk, cap) + tail(w))],
+            axis=1,
+        )
+
+    def body(carry, b):
+        start = b * (blk * cap)
+
+        def compute(carry):
+            win = {
+                k: lax.dynamic_slice_in_dim(v, start, win_cells * cap, axis=0)
+                for k, v in padded.items()
+            }
+            home = {
+                k: w[padc * cap : (padc + blk) * cap].reshape(
+                    (blk, cap) + tail(w)
+                )
+                for k, w in win.items()
+            }
+            # local window-side accumulator spanning the haloed window
+            w_buf = jax.tree.map(
+                lambda a: jnp.zeros((win_cells * cap,) + tail(a), a.dtype),
+                init,
+            )
+
+            def add_w(w_buf, wd, sh, ncells):
+                # wd [blk, ncells*cap] -> rows (c + sh - 1 + t) for t<ncells
+                # (for the self slab sh==0 windows start at offset 0, i.e.
+                # cells c + t)
+                out = w_buf
+                base = padc + (sh - 1 if ncells == 3 else 0)
+                for t in range(ncells):
+                    chunk = wd[:, t * cap : (t + 1) * cap].reshape(
+                        (blk * cap,) + wd.shape[2:]
+                    )
+                    lo = (base + t) * cap
+                    out = out.at[lo : lo + blk * cap].add(chunk)
+                return out
+
+            def fold_rows(r0, r1, w_buf):
+                """All slabs for home rows [r0, r1) of every cell."""
+                hm = {k: h[:, r0:r1] for k, h in home.items()}
+                h_acc = jax.tree.map(
+                    lambda a: jnp.zeros((blk, r1 - r0) + tail(a), a.dtype),
+                    init,
+                )
+                for sh in pos_shifts:
+                    base = (padc + sh - 1) * cap
+                    slab = {
+                        k: _window_view(w[base : base + (blk + 2) * cap], blk, cap)
+                        for k, w in win.items()
+                    }
+                    hd, wd = pair_fn(hm, slab, None)
+                    h_acc = jax.tree.map(jnp.add, h_acc, hd)
+                    w_buf = jax.tree.map(
+                        lambda wb, w_: add_w(wb, w_, sh, 3), w_buf, wd
+                    )
+                slab0 = {k: win2_view(w) for k, w in win.items()}
+                hd, wd = pair_fn(hm, slab0, tri[:, r0:r1])
+                h_acc = jax.tree.map(jnp.add, h_acc, hd)
+                w_buf = jax.tree.map(
+                    lambda wb, w_: add_w(wb, w_, 0, 2), w_buf, wd
+                )
+                return h_acc, w_buf
+
+            t = tier or cap
+            h_acc, w_buf = fold_rows(0, t, w_buf)
+            if tier:
+                # crowded home rows [tier, cap): only for blocks that
+                # actually contain a cell deeper than the tier boundary
+                def hi_rows(wb):
+                    return fold_rows(tier, cap, wb)
+
+                def no_hi(wb):
+                    zero_hi = jax.tree.map(
+                        lambda a: jnp.zeros(
+                            (blk, cap - tier) + tail(a), a.dtype
+                        ),
+                        init,
+                    )
+                    return zero_hi, wb
+
+                h_hi, w_buf = lax.cond(blk_hi[b], hi_rows, no_hi, w_buf)
+                h_acc = jax.tree.map(
+                    lambda a, c: jnp.concatenate([a, c], axis=1), h_acc, h_hi
+                )
+
+            # fold home contributions into the window buffer's center rows
+            w_buf = jax.tree.map(
+                lambda wb, ha: wb.at[padc * cap : (padc + blk) * cap].add(
+                    ha.reshape((blk * cap,) + ha.shape[2:])
+                ),
+                w_buf,
+                h_acc,
+            )
+            # read-modify-write the carry's window span (sequential scan ->
+            # overlapping halo rows accumulate correctly)
+            def merge(c, wb):
+                cur = lax.dynamic_slice_in_dim(c, start, win_cells * cap, axis=0)
+                return lax.dynamic_update_slice_in_dim(
+                    c, cur + wb, start, axis=0
+                )
+
+            return jax.tree.map(merge, carry, w_buf)
+
+        if use_skip:
+            carry = lax.cond(blk_occ[b], compute, lambda c: c, carry)
+        else:
+            carry = compute(carry)
+        return carry, None
+
+    carry, _ = lax.scan(body, carry0, jnp.arange(nblk, dtype=jnp.int32))
+    return jax.tree.map(
+        lambda a: a[padc * cap : padc * cap + C * cap], carry
+    )
 
 
 def _window_view(w: jax.Array, blk: int, cap: int) -> jax.Array:

@@ -69,6 +69,12 @@ def shard_binned(
 
 def sharded_step(mesh: Mesh, params: FluidParams, grid: nb.BinnedGrid, axis: str = SPATIAL_AXIS):
     """jit-compiled WCSPH step with spatial in/out shardings pinned."""
+    import dataclasses
+
+    # The symmetric fold's window write-back (scan-carried
+    # dynamic_update_slice across shard boundaries) does not partition
+    # well under GSPMD; sharded paths keep the one-sided fold.
+    grid = dataclasses.replace(grid, symmetric_fold=False)
     slot = slot_sharding(mesh, axis)
     rep = replicated(mesh)
 
@@ -92,6 +98,9 @@ def sharded_step(mesh: Mesh, params: FluidParams, grid: nb.BinnedGrid, axis: str
 
 def sharded_simulate(mesh: Mesh, params, grid, axis: str = SPATIAL_AXIS):
     """n-step roll with pinned shardings (fori_loop keeps layout stable)."""
+    import dataclasses
+
+    grid = dataclasses.replace(grid, symmetric_fold=False)
     slot = slot_sharding(mesh, axis)
     rep = replicated(mesh)
 

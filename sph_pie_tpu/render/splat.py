@@ -75,6 +75,49 @@ def render_u8(
     return jnp.clip(tone * 255.0, 0, 255).astype(jnp.uint8)
 
 
+@partial(jax.jit, static_argnames=("grid", "resolution", "axis"))
+def splat_binned(grid, b, resolution=(256, 256), axis: int = 2) -> jax.Array:
+    """Framebuffer straight from the dense binned layout — scatter-free.
+
+    A particle-indexed scatter-add at 1M+ particles costs hundreds of ms on
+    TPU (XLA scatter is ~serial per update); the binned layout already IS a
+    spatial histogram, so projection = one O(S) per-cell mass reduction +
+    a sum over the projection grid axis + a bilinear resize. Sub-cell
+    positions are quantized to the cell grid (~2.6 px at 256^2 over a unit
+    domain) — the right trade for in-loop streaming at 1M+ (use ``splat``
+    for publication-quality stills).
+
+    ``axis`` is the SPATIAL projection axis (3D only).
+    """
+    C, cap = grid.num_cells, grid.cap
+    m_cell = jnp.sum(b.mass.reshape(C, cap), axis=1)
+    vol = m_cell.reshape(grid.padded_dims)
+    # drop ghost cells
+    vol = vol[tuple(slice(1, -1) for _ in grid.dims)]
+    order = grid.axis_order or tuple(range(grid.dim))
+    if grid.dim == 3:
+        gaxis = order.index(axis)          # grid axis holding spatial `axis`
+        vol = jnp.sum(vol, axis=gaxis)
+        keep = [a for a in order if a != axis]  # spatial axes left, grid order
+    else:
+        keep = list(order)
+    # image rows = screen y (world 'up' = the LAST remaining spatial axis,
+    # by the scenes' convention), columns = the other axis; row 0 = top.
+    up = max(keep)
+    if keep.index(up) == 1:
+        vol = vol.T
+    vol = vol[::-1]  # ascending world-up -> image top row first
+    img = jax.image.resize(vol, resolution, method="bilinear")
+    return img
+
+
+@partial(jax.jit, static_argnames=("grid", "resolution", "axis"))
+def render_binned_u8(grid, b, resolution=(256, 256), axis: int = 2, gain=1.0):
+    img = splat_binned(grid, b, resolution, axis)
+    tone = 1.0 - jnp.exp(-gain * img)
+    return jnp.clip(tone * 255.0, 0, 255).astype(jnp.uint8)
+
+
 def frame_from_state(state, params, resolution=(256, 256), axis: int = 2, gain=None):
     """Render a ParticleState using the scene AABB as the window."""
     extent = (

@@ -108,6 +108,7 @@ class RunExecutor:
                     chunk,
                     1,
                     start_step=step,
+                    boundary=getattr(scene, "boundary", None),
                 )
                 step += chunk
                 m = metrics_lib.state_metrics(state, scene.params, step=step)

@@ -181,7 +181,7 @@ def step(
     # intra-step constraint excursions are still covered because
     # ``travel`` keeps accumulating every intermediate move bound below.
     b = maybe_rebin(grid, b)
-    valid = b.valid[:, None]
+    valid = (b.valid & ~nb.frozen_mask(grid, b))[:, None]
 
     # Predict
     acc = jnp.zeros_like(b.pos) + params.gravity

@@ -31,6 +31,7 @@ def run_epochs(
     epoch_steps: int,
     n_epochs,
     start_step=0,
+    boundary=None,
 ) -> ParticleState:
     """Run n_epochs * epoch_steps steps with emission between epochs.
 
@@ -45,7 +46,7 @@ def run_epochs(
         st, overflow = carry
         if emitter is not None:
             st = em_lib.emit_due(st, emitter, start_step + e * epoch_steps)
-        b = nb.bin_state(grid, st)
+        b = nb.bin_state(grid, st, boundary)
         b = wcsph_binned.simulate(params, grid, b, epoch_steps, obstacles)
         return nb.unbin(grid, b, capacity), jnp.maximum(overflow, b.overflow)
 
@@ -69,4 +70,5 @@ def run_scene(scene, n_steps: int, epoch_steps: int = 50):
         scene.obstacles,
         epoch_steps,
         n_epochs,
+        boundary=getattr(scene, "boundary", None),
     )

@@ -65,6 +65,8 @@ def _density(
     ``b`` needs .pos/.mass flat arrays; with halo/local_cells the fold runs
     on a device-local slab (parallel/halo.py)."""
     dim, h = params.dim, params.h
+    if halo is None and local_cells is None and grid.symmetric_fold:
+        return _density_sym(params, grid, b)
 
     def pair(rho, home, w):
         _, r2 = _r2(dim, home, w)                           # [blk, cap, 3cap]
@@ -77,6 +79,112 @@ def _density(
     return jnp.maximum(rho, 1e-6 * params.rest_density)
 
 
+def _density_sym(params: FluidParams, grid: nb.BinnedGrid, b):
+    """Symmetric density: each pair once, rho_i += m_j W and rho_j += m_i W;
+    the diagonal self term m_i W(0) is a separate elementwise pass."""
+    dim, h = params.dim, params.h
+
+    def pair(home, w, mask):
+        _, r2 = _r2(dim, home, w)
+        wk = smoothing.poly6(dim, h, r2)
+        if mask is not None:
+            wk = jnp.where(mask, wk, 0.0)
+        h_delta = jnp.sum(w["mass"][:, None, :] * wk, axis=2)
+        w_delta = jnp.sum(home["mass"][:, :, None] * wk, axis=1)
+        return {"rho": h_delta}, {"rho": w_delta}
+
+    fields = {**_planar("p", b.pos), "mass": b.mass}
+    out = nb.slab_fold_sym(grid, fields, pair, {"rho": jnp.zeros_like(b.mass)})
+    w0 = smoothing.poly6_coeff(dim, h) * h**6  # W(0)
+    rho = out["rho"] + b.mass * w0
+    # Empty slots sit at pos 0; window-side accumulation can deposit
+    # garbage on them (harmless downstream — every use is weighted by
+    # mass==0 or gated by valid — but keep the floor semantics clean).
+    rho = jnp.where(b.valid, rho, 0.0)
+    return jnp.maximum(rho, 1e-6 * params.rest_density)
+
+
+def _forces_sym(params: FluidParams, grid: nb.BinnedGrid, b):
+    """Symmetric pressure + viscosity + cohesion + XSPH (pairs once).
+
+    Per-pair antisymmetric core A_k = -s d_k + mu/(rho_i rho_j) lap dv_k
+    with s = ((p_i/rho_i^2 + p_j/rho_j^2) gw + st coh) / r:
+      acc_i += m_j A,    acc_j -= m_i A
+      xsph_i += (m/rho)_j X,  xsph_j -= (m/rho)_i X   with X = W dv
+    — exactly the one-sided math of ``_forces`` applied to both sides.
+    """
+    dim, h = params.dim, params.h
+    h2 = h * h
+    tiny = jnp.asarray(1e-12, b.pos.dtype)
+
+    inv_rho = 1.0 / b.density
+    pr2 = b.pressure * inv_rho * inv_rho
+    m_rho = b.mass * inv_rho
+
+    def pair(hm, w, mask):
+        d, r2 = _r2(dim, hm, w)
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, tiny))
+        r = r2 * inv_r
+
+        gw = smoothing.spiky_grad_mag(dim, h, r)
+        if mask is not None:
+            gw = jnp.where(mask, gw, 0.0)
+        p_term = hm["pr2"][:, :, None] + w["pr2"][:, None, :]
+        s = p_term * gw
+        if params.use_cohesion:
+            coh = smoothing.cohesion(dim, h, r)
+            if mask is not None:
+                coh = jnp.where(mask, coh, 0.0)
+            s = s + params.surface_tension * coh
+        s = s * inv_r
+
+        lap = smoothing.visc_lap(dim, h, r)
+        if mask is not None:
+            lap = jnp.where(mask, lap, 0.0)
+        g = params.viscosity * (
+            hm["inv_rho"][:, :, None] * w["inv_rho"][:, None, :]
+        ) * lap
+
+        if params.use_xsph:
+            wk = smoothing.poly6(dim, h, r2)
+            if mask is not None:
+                wk = jnp.where(mask, wk, 0.0)
+
+        m_h = hm["mass"][:, :, None]
+        m_w = w["mass"][:, None, :]
+        hd, wd = {}, {}
+        for k in range(dim):
+            dv = w[f"v{k}"][:, None, :] - hm[f"v{k}"][:, :, None]
+            A = g * dv - s * d[k]
+            hd[f"a{k}"] = jnp.sum(m_w * A, axis=2)
+            wd[f"a{k}"] = -jnp.sum(m_h * A, axis=1)
+            if params.use_xsph:
+                X = wk * dv
+                hd[f"x{k}"] = jnp.sum(w["m_rho"][:, None, :] * X, axis=2)
+                wd[f"x{k}"] = -jnp.sum(hm["m_rho"][:, :, None] * X, axis=1)
+        return hd, wd
+
+    fields = {
+        **_planar("p", b.pos),
+        **_planar("v", b.vel),
+        "mass": b.mass,
+        "pr2": pr2,
+        "m_rho": m_rho,
+        "inv_rho": inv_rho,
+    }
+    zero = jnp.zeros_like(b.mass)
+    init = {f"a{k}": zero for k in range(dim)}
+    if params.use_xsph:
+        init.update({f"x{k}": zero for k in range(dim)})
+    out = nb.slab_fold_sym(grid, fields, pair, init)
+    acc = jnp.stack([out[f"a{k}"] for k in range(dim)], axis=-1)
+    if params.use_xsph:
+        xsph = jnp.stack([out[f"x{k}"] for k in range(dim)], axis=-1)
+    else:
+        xsph = jnp.zeros_like(acc)
+    return acc, xsph
+
+
 def _forces(
     params: FluidParams,
     grid: nb.BinnedGrid,
@@ -85,6 +193,8 @@ def _forces(
     local_cells: int | None = None,
 ):
     """Pressure + viscosity + cohesion accel and XSPH sum over home slots."""
+    if halo is None and local_cells is None and grid.symmetric_fold:
+        return _forces_sym(params, grid, b)
     dim, h = params.dim, params.h
     h2 = h * h
     tiny = jnp.asarray(1e-12, b.pos.dtype)
@@ -214,11 +324,12 @@ def step(
 
         acc = acc + obs_lib.accel(obstacles, b.pos, b.vel)
 
-    valid = b.valid[:, None]
-    vel = jnp.where(valid, b.vel + params.dt * acc, 0.0)
+    move = (b.valid & ~nb.frozen_mask(grid, b))[:, None]
+    vel = jnp.where(move, b.vel + params.dt * acc, 0.0)
     vel = clamp_speed(params, vel)
     vel_adv = vel + params.xsph_eps * xsph
-    pos = jnp.where(valid, b.pos + params.dt * vel_adv, b.pos)
+    vel_adv = jnp.where(move, vel_adv, 0.0)
+    pos = jnp.where(move, b.pos + params.dt * vel_adv, b.pos)
 
     # Hard per-step displacement bound for the Verlet-skin guarantee.
     step_disp = params.dt * jnp.sqrt(

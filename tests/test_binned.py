@@ -112,3 +112,38 @@ def test_slab_windows_cover_neighbor_cells():
     d = np.asarray(pos)[:, None] - np.asarray(pos)[None, :]
     true_pairs = (d**2).sum(-1) < h * h
     assert not (true_pairs & ~found).any()
+
+
+def test_symmetric_fold_matches_one_sided():
+    """Newton's-3rd-law fold == one-sided fold (both passes, fp tolerance)."""
+    import dataclasses
+
+    from sph_pie_tpu.kernels import eos
+    from sph_pie_tpu.scenes import dam_break_2d, dam_break_3d
+    from sph_pie_tpu.solvers import wcsph_binned
+    from sph_pie_tpu.utils.struct import replace as srep
+
+    for scene in (dam_break_2d(n_target=900), dam_break_3d(n_target=2000)):
+        g_sym = dataclasses.replace(scene.bgrid, symmetric_fold=True)
+        g_one = dataclasses.replace(scene.bgrid, symmetric_fold=False)
+        b = scene.binned_state()
+        # run a few steps first so velocities/pressures are nontrivial
+        b = wcsph_binned.simulate(scene.params, g_one, b, 20)
+
+        valid = np.asarray(b.valid)
+        rho_s = np.asarray(wcsph_binned._density(scene.params, g_sym, b))
+        rho_o = np.asarray(wcsph_binned._density(scene.params, g_one, b))
+        np.testing.assert_allclose(rho_s[valid], rho_o[valid], rtol=2e-5)
+
+        rho = wcsph_binned._density(scene.params, g_one, b)
+        b2 = srep(b, density=rho, pressure=eos.tait_pressure(scene.params, rho))
+        acc_s, xs_s = wcsph_binned._forces(scene.params, g_sym, b2)
+        acc_o, xs_o = wcsph_binned._forces(scene.params, g_one, b2)
+        # compare valid slots only: empty slots accumulate (ignored)
+        # garbage that differs between the two pairing orders
+        da = np.abs(np.asarray(acc_s) - np.asarray(acc_o))[valid]
+        scale = float(np.abs(np.asarray(acc_o)[valid]).max()) or 1.0
+        assert da.max() / scale < 3e-5
+        dx = np.abs(np.asarray(xs_s) - np.asarray(xs_o))[valid]
+        xscale = float(np.abs(np.asarray(xs_o)[valid]).max())
+        assert dx.max() / max(xscale, 1e-12) < 3e-5
