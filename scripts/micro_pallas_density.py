@@ -1,0 +1,88 @@
+"""Hardware microbench: Pallas fused pair kernels vs the XLA slab fold.
+
+Run on the real TPU:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_pallas_density.py [N]
+"""
+
+import json
+import sys
+import time
+
+import jax
+import numpy as np
+
+from sph_pie_tpu.kernels import eos
+from sph_pie_tpu.neighbors import pallas_pair
+from sph_pie_tpu.scenes import dam_break_3d
+from sph_pie_tpu.solvers import wcsph_binned
+from sph_pie_tpu.utils.struct import replace
+
+
+def sync(x):
+    return float(np.asarray(jax.device_get(x)))
+
+
+def timeit(fn, *args, reps=5):
+    out = fn(*args)
+    sync(out[0] if not isinstance(out, tuple) else out[0][0, 0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    sync(out[0] if not isinstance(out, tuple) else out[0][0, 0])
+    return (time.perf_counter() - t0) / reps * 1e3, out
+
+
+def relerr(a, b):
+    a, b = np.asarray(a), np.asarray(b)
+    scale = max(1.0e-30, float(np.abs(a).max()))
+    return float(np.abs(a - b).max() / scale)
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    scene = dam_break_3d(n_target=n)
+    g = scene.bgrid
+    print(json.dumps({"n": n, "cap": g.cap, "cells": g.num_cells}), flush=True)
+    b = scene.binned_state()
+
+    fold = jax.jit(lambda bb: wcsph_binned._density(scene.params, g, bb))
+    t_fold, rho_fold = timeit(fold, b)
+    print(json.dumps({"density_fold_ms": round(t_fold, 2)}), flush=True)
+
+    pal = jax.jit(lambda bb: pallas_pair.density_pallas(scene.params, g, bb))
+    t_pal, rho_pal = timeit(pal, b)
+    print(
+        json.dumps(
+            {
+                "density_pallas_ms": round(t_pal, 2),
+                "rel_err": relerr(rho_fold, rho_pal),
+                "speedup": round(t_fold / t_pal, 2),
+            }
+        ),
+        flush=True,
+    )
+
+    b2 = replace(
+        b, density=rho_fold, pressure=eos.tait_pressure(scene.params, rho_fold)
+    )
+    ffold = jax.jit(lambda bb: wcsph_binned._forces(scene.params, g, bb))
+    t_ffold, (acc_f, xs_f) = timeit(ffold, b2)
+    print(json.dumps({"forces_fold_ms": round(t_ffold, 2)}), flush=True)
+
+    fpal = jax.jit(lambda bb: pallas_pair.forces_pallas(scene.params, g, bb))
+    t_fpal, (acc_p, xs_p) = timeit(fpal, b2)
+    print(
+        json.dumps(
+            {
+                "forces_pallas_ms": round(t_fpal, 2),
+                "acc_rel_err": relerr(acc_f, acc_p),
+                "xsph_rel_err": relerr(xs_f, xs_p),
+                "speedup": round(t_ffold / t_fpal, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
