@@ -1,7 +1,7 @@
-"""Hardware microbench: Pallas fused pair kernels vs the XLA slab fold.
+"""Hardware microbench: SYMMETRIC Pallas pair kernels vs the XLA fold.
 
 Run on the real TPU:
-  PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_pallas_density.py [N]
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_pallas_sym.py [N]
 """
 
 import json
@@ -12,7 +12,7 @@ import jax
 import numpy as np
 
 from sph_pie_tpu.kernels import eos
-from sph_pie_tpu.neighbors import pallas_pair
+from sph_pie_tpu.neighbors import pallas_sym
 from sph_pie_tpu.scenes import dam_break_3d
 from sph_pie_tpu.solvers import wcsph_binned
 from sph_pie_tpu.utils.struct import replace
@@ -33,10 +33,6 @@ def timeit(fn, *args, reps=5):
 
 
 def relerr(a, b, valid):
-    """Max relative error over VALID slots only. Empty slots sit at pos 0,
-    where the Pallas 4-cell lane windows legitimately see different
-    neighbors than the fold's 3-cell windows — garbage on invalid slots is
-    masked by every consumer (velocity updates gate on valid)."""
     a = np.asarray(a)[np.asarray(valid)]
     b = np.asarray(b)[np.asarray(valid)]
     scale = max(1.0e-30, float(np.abs(a).max()))
@@ -54,12 +50,12 @@ def main():
     t_fold, rho_fold = timeit(fold, b)
     print(json.dumps({"density_fold_ms": round(t_fold, 2)}), flush=True)
 
-    pal = jax.jit(lambda bb: pallas_pair.density_pallas(scene.params, g, bb))
+    pal = jax.jit(lambda bb: pallas_sym.density_sym(scene.params, g, bb))
     t_pal, rho_pal = timeit(pal, b)
     print(
         json.dumps(
             {
-                "density_pallas_ms": round(t_pal, 2),
+                "density_sym_ms": round(t_pal, 2),
                 "rel_err": relerr(rho_fold, rho_pal, b.valid),
                 "speedup": round(t_fold / t_pal, 2),
             }
@@ -74,12 +70,12 @@ def main():
     t_ffold, (acc_f, xs_f) = timeit(ffold, b2)
     print(json.dumps({"forces_fold_ms": round(t_ffold, 2)}), flush=True)
 
-    fpal = jax.jit(lambda bb: pallas_pair.forces_pallas(scene.params, g, bb))
+    fpal = jax.jit(lambda bb: pallas_sym.forces_sym(scene.params, g, bb))
     t_fpal, (acc_p, xs_p) = timeit(fpal, b2)
     print(
         json.dumps(
             {
-                "forces_pallas_ms": round(t_fpal, 2),
+                "forces_sym_ms": round(t_fpal, 2),
                 "acc_rel_err": relerr(acc_f, acc_p, b.valid),
                 "xsph_rel_err": relerr(xs_f, xs_p, b.valid),
                 "speedup": round(t_ffold / t_fpal, 2),

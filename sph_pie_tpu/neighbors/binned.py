@@ -92,6 +92,30 @@ class BinnedGrid:
                                # cells) at ~zero cost: window lanes cover
                                # the full cap either way (3*cap <= 128 is
                                # one VPU lane tile), only home rows pay.
+    pair_kernel: str = "fold"  # "fold" = XLA slab fold; "sym" = symmetric
+                               # Pallas kernels (neighbors/pallas_sym);
+                               # "auto" = sym on TPU when eligible
+                               # (cap == 32, single device, no halo).
+                               # Default stays "fold": measured on v5e at
+                               # 100k the sym kernels are bit-equivalent
+                               # but density is only 1.02x and forces
+                               # 0.57x of the fold (Mosaic per-op
+                               # inefficiency on the chunked tiles, under
+                               # investigation in ROADMAP).
+    adaptive_rows: int = 0     # if 0 < a and a | cap: per-block DYNAMIC
+                               # home-row bound. Each block runs a
+                               # while_loop over a-row segments up to
+                               # ceil(max_cell_occupancy_in_block / a)
+                               # segments, so home-side pair work scales
+                               # with actual occupancy instead of cap.
+                               # Counting-sort rank order guarantees rank
+                               # r is occupied iff cell occupancy > r, so
+                               # segments past the block max are exactly
+                               # the all-empty rows. Subsumes home_tier.
+                               # Matches the static fold to fp tiling
+                               # noise (~1e-7 rel): segments partition
+                               # rows, only XLA's lane-reduce tiling
+                               # differs between shapes.
 
     @property
     def dim(self) -> int:
@@ -538,18 +562,31 @@ def slab_fold(
     # of its field windows (round 1 sliced before the cond, so every
     # skipped block still streamed ~win_cells*cap rows of every field).
     use_skip = grid.skip_empty_blocks and nblk > 1 and "mass" in fields
+    adaptive = (
+        grid.adaptive_rows
+        if 0 < grid.adaptive_rows and cap % grid.adaptive_rows == 0
+        and "mass" in fields
+        else 0
+    )
     tier = (
         grid.home_tier
         if 0 < grid.home_tier < cap and "mass" in fields and halo is None
+        and not adaptive
         else 0
     )
-    if use_skip or tier:
+    if use_skip or tier or adaptive:
         m = fields["mass"]
         tail_rows = nblk * blk * cap - C * cap
         mflat = jnp.concatenate([m, jnp.zeros((tail_rows,), m.dtype)]) if tail_rows else m
         occ3 = (mflat > 0).reshape(nblk, blk, cap)
         if use_skip:
             blk_occ = jnp.any(occ3, axis=(1, 2))
+        if adaptive:
+            # segments this block needs = ceil(max cell occupancy / seg)
+            blk_max = jnp.max(
+                jnp.sum(occ3.astype(jnp.int32), axis=2), axis=1
+            )
+            blk_nseg = -(-blk_max // adaptive)
         if tier:
             # rank `tier` occupied anywhere in the block <=> some cell
             # holds more than `tier` particles (counting-sort rank order)
@@ -586,6 +623,49 @@ def slab_fold(
                         for k, w in win.items()
                     }
                     carry = pair_fn(carry, hm, slab)
+                return carry
+
+            if adaptive:
+                # while_loop over `adaptive`-row segments: home-side pair
+                # work per block is ceil(block_max_occ/seg) segments, not
+                # cap rows. Rows past the block max are rank-empty by the
+                # counting-sort invariant, so skipping them is exact.
+                def seg_body(state):
+                    s, carry = state
+                    r0 = s * adaptive
+                    hm = {
+                        k: lax.dynamic_slice_in_dim(h, r0, adaptive, axis=1)
+                        for k, h in home.items()
+                    }
+                    cc = jax.tree.map(
+                        lambda a: jnp.zeros(
+                            (blk, adaptive) + tail(a), a.dtype
+                        ),
+                        init,
+                    )
+                    for sh in shifts:
+                        base = (padc + sh - 1) * cap
+                        slab = {
+                            k: _window_view(
+                                w[base : base + (blk + 2) * cap], blk, cap
+                            )
+                            for k, w in win.items()
+                        }
+                        cc = pair_fn(cc, hm, slab)
+                    carry = jax.tree.map(
+                        lambda c, d: lax.dynamic_update_slice_in_dim(
+                            c, d, r0, axis=1
+                        ),
+                        carry,
+                        cc,
+                    )
+                    return s + 1, carry
+
+                _, carry = lax.while_loop(
+                    lambda st: st[0] < blk_nseg[b],
+                    seg_body,
+                    (jnp.int32(0), zero),
+                )
                 return carry
 
             t = tier or cap

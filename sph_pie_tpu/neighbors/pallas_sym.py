@@ -1,0 +1,602 @@
+"""Symmetric (pairs-once) Pallas TPU pair kernels.
+
+Why: the VPU roofline measured on this chip (scripts/micro_vpu.py) is
+~1.1 TFLOP/s f32 and bf16 is NOT faster — the XLA slab fold already runs
+at ~0.8 of that, so the only large single-chip lever left is *pair-work
+volume*. Newton's third law halves it: every unordered pair is computed
+once and accumulated to both sides. The XLA attempt (binned.slab_fold_sym)
+measured SLOWER because XLA materialises the window-side scatter-adds as
+big HBM read-modify-writes per slab; in Pallas the window-side accumulator
+lives in VMEM for the whole block and is emitted once.
+
+Slab selection (vs the 3^(dim-1) one-sided slabs):
+  * positive-shift slabs (4 in 3D, 1 in 2D): home cell c pairs the full
+    3-cell window at c+sh-1 — the mirror pair belongs to the skipped
+    negative slab;
+  * one self slab: window cells c..c+1, with an upper-triangle mask on
+    the c-part (within-cell pairs once, no self-pair) — lanes past cell
+    c+1 in the 128-lane row are >= one whole cell away, kernel weight
+    exactly 0 (free filler, as in pallas_pair).
+
+Forward-only invariant: every positive shift is >= the smallest leading
+stride (> 2 cells), so ALL window-side deposits land at rows >= the home
+block start. Per (slab, block) the kernel emits a 72-row deposit span
+aligned at a compile-time offset; XLA reassembles with static pad-shift
+adds (body rows tile contiguously at 64 rows/block, the 8 spill rows ride
+a second shifted add) — pure elementwise, no scatters.
+
+Per-block occupancy adaptivity: an aux row carries ceil(block max cell
+occupancy / 8), and the 8-rank home chunks are wrapped in pl.when — home
+pair work scales with the block's real depth (rank r occupied iff cell
+occupancy > r, the counting-sort invariant).
+
+Traced FluidParams coefficients (viscosity, surface tension) ride the aux
+row as lane scalars — they never recompile the kernel and keep the output
+count at one array per physical field.
+
+Reference behavior parity: same pair math as solvers/wcsph_binned._forces
+(Mueller-03 pressure/viscosity, Akinci cohesion, XSPH), which itself
+mirrors the CPU/native oracles. cap == 32 only (4 cells per 128-lane row).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sph_pie_tpu.neighbors import binned as nb
+from sph_pie_tpu.neighbors.pallas_pair import (
+    BLK,
+    LANE,
+    _class_views,
+    _grid_h,
+    _pack_rows,
+    _poly6_c,
+    _spiky_c,
+    _visc_c,
+)
+
+import os
+
+# Experiment knobs (hardware A/B without code edits): home ranks per pair
+# tile and whether a per-block occupancy cond wraps each rank chunk.
+# Measured on v5e at 100k (density_sym vs fold): RCH=8+cond 1.02x,
+# RCH=16+cond 0.72x, RCH=32 no cond 1.14x — full-cap tiles with no
+# branches win; the cond's skipped work doesn't pay for its overhead at
+# this block size.
+RCH = int(os.environ.get("SPH_PIE_SYM_RCH", "32"))
+NOCOND = os.environ.get("SPH_PIE_SYM_NOCOND", "1") == "1"
+
+
+def _plan_sym(grid: nb.BinnedGrid):
+    """Static plan: positive-shift slabs + self slab, DMA geometry."""
+    if grid.cap != 32:
+        raise ValueError(f"pallas sym kernels require cap == 32, got {grid.cap}")
+    shifts = tuple(grid.slab_shifts())
+    reach = max(abs(s) for s in shifts)
+    padc = -(-(reach + 1) // 4) * 4  # front pad cells, multiple of 4
+    nr = -(-(BLK + 6 + 4) // 4)
+    nr = -(-nr // 8) * 8  # 72 rows: sublane-tiled span per slab
+    C = grid.num_cells
+    nblk = -(-C // BLK)
+    rows_blk = BLK * grid.cap // LANE  # 64
+    h0 = padc * grid.cap // LANE
+    # positive slabs: window start cell c+sh-1; self slab: window start c
+    slabs = []
+    for sh in shifts:
+        if sh > 0:
+            d = sh - 1 + padc
+            slabs.append((d // 4, d % 4, False))
+    slabs.append((padc // 4, 0, True))  # self slab last
+    q_max = max(q for q, _, _ in slabs)
+    n_rows = nblk * rows_blk + h0 + q_max + nr
+    return {
+        "padc": padc,
+        "nr": nr,
+        "nblk": nblk,
+        "rows_blk": rows_blk,
+        "h0": h0,
+        "slabs": tuple(slabs),
+        "n_rows": n_rows,
+    }
+
+
+def aux_rows(grid: nb.BinnedGrid, mass, scalars=()) -> jax.Array:
+    """[nblk, 8, 128] f32 aux: lane 0 = occupancy flag, lane 1 = number of
+    8-rank home chunks the block needs, lanes 8.. = traced scalars."""
+    plan = _plan_sym(grid)
+    nblk = plan["nblk"]
+    cap = grid.cap
+    pad = nblk * BLK * cap - grid.num_slots
+    m = jnp.concatenate([mass > 0, jnp.zeros((pad,), jnp.bool_)])
+    occ3 = m.reshape(nblk, BLK, cap)
+    blk_any = jnp.any(occ3, axis=(1, 2)).astype(jnp.float32)
+    blk_max = jnp.max(jnp.sum(occ3.astype(jnp.int32), axis=2), axis=1)
+    nchunk = (-(-blk_max // RCH)).astype(jnp.float32)
+    row = jnp.zeros((nblk, LANE), jnp.float32)
+    row = row.at[:, 0].set(blk_any)
+    row = row.at[:, 1].set(nchunk)
+    for i, s in enumerate(scalars):
+        row = row.at[:, 8 + i].set(jnp.asarray(s, jnp.float32))
+    return jnp.broadcast_to(row[:, None, :], (nblk, 8, LANE))
+
+
+def _deposit(contrib, a, into, roff, rows_blk):
+    """Add a [rows_blk, 128] view-class-a contribution into the span-space
+    accumulator ``into`` ([nr, 128]) at row offset ``roff``.
+
+    Inverse of _class_views: span[a*cap + r*128 + l] += contrib[r, l]
+    == right-roll by a*cap with the wrapped lanes carried to row r+1.
+    Static pad-concats instead of .at[].add (Mosaic has no scatter-add)."""
+    nr = into.shape[0]
+
+    def pad_rows(x, r0):
+        parts = []
+        if r0:
+            parts.append(jnp.zeros((r0, LANE), x.dtype))
+        parts.append(x)
+        back = nr - r0 - x.shape[0]
+        if back:
+            parts.append(jnp.zeros((back, LANE), x.dtype))
+        return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+
+    if a == 0:
+        return into + pad_rows(contrib, roff)
+    s = a * 32
+    lane_idx = lax.broadcasted_iota(jnp.int32, contrib.shape, 1)
+    rolled = pltpu.roll(contrib, s, 1)
+    main = jnp.where(lane_idx >= s, rolled, 0.0)
+    carry = jnp.where(lane_idx < s, rolled, 0.0)
+    return into + pad_rows(main, roff) + pad_rows(carry, roff + 1)
+
+
+def _tri_mask(cap, rc):
+    """[RCH, 128] bool mask for the self slab, rank chunk ``rc``: lanes of
+    the home cell itself keep strictly-upper-triangle pairs; all other
+    lanes pass (cell c+1 pairs once; cells c+2/c+3 are zero-weight
+    filler). Built from iotas inside the kernel (pallas_call forbids
+    captured array constants)."""
+    sub = lax.broadcasted_iota(jnp.int32, (RCH, LANE), 0) + rc * RCH
+    lane = lax.broadcasted_iota(jnp.int32, (RCH, LANE), 1)
+    return (lane >= cap) | (sub < lane)
+
+
+def _combine(plan, grid, home_part, win_parts):
+    """Reassemble flat [S] results from per-block-aligned kernel outputs.
+
+    home_part: [nblk*64, 128] rows aligned at absolute row h0.
+    win_parts: list per slab of [nblk*72, 128]; rows i*72..i*72+72 of
+    block i hold the deposit span starting at absolute row i*64 + q0_s.
+    Split into body (64 rows -> contiguous at q0_s) + tail (8 rows ->
+    contiguous at q0_s + 64): two static pad-shift adds per slab."""
+    n_rows = plan["n_rows"]
+    nblk = plan["nblk"]
+    rows_blk = plan["rows_blk"]
+    nr = plan["nr"]
+    h0 = plan["h0"]
+    total = nblk * rows_blk
+
+    spill = nr - rows_blk  # deposit rows past the 64-row block body
+
+    def shift_add(acc, rows, q0):
+        # rows: [total, 128] contribution starting at absolute row q0
+        front = jnp.zeros((q0, LANE), rows.dtype)
+        back = jnp.zeros((n_rows - q0 - total, LANE), rows.dtype)
+        return acc + jnp.concatenate([front, rows, back])
+
+    acc = jnp.zeros((n_rows, LANE), home_part.dtype)
+    acc = shift_add(acc, home_part, h0)
+    for (q0, _, _), wp in zip(plan["slabs"], win_parts):
+        w3 = wp.reshape(nblk, nr, LANE)
+        body = w3[:, :rows_blk].reshape(total, LANE)
+        tail = w3[:, rows_blk:]
+        tail_full = jnp.concatenate(
+            [tail, jnp.zeros((nblk, rows_blk - spill, LANE), wp.dtype)], axis=1
+        ).reshape(total, LANE)
+        acc = shift_add(acc, body, q0)
+        acc = shift_add(acc, tail_full, q0 + rows_blk)
+    flat = acc.reshape(-1)
+    s0 = h0 * LANE
+    return flat[s0 : s0 + grid.num_slots]
+
+
+def _make_call(grid, plan, n_fields, n_home, n_win, kernel, interpret):
+    nr, nblk = plan["nr"], plan["nblk"]
+    rows_blk = plan["rows_blk"]
+    n_slab = len(plan["slabs"])
+
+    def call(packed, aux):
+        home_out, win_out = pl.pallas_call(
+            kernel,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, 8, LANE), lambda i: (i, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((n_home, rows_blk, LANE), lambda i: (0, i, 0)),
+                pl.BlockSpec((n_slab * n_win, nr, LANE), lambda i: (0, i, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct(
+                    (n_home, nblk * rows_blk, LANE), jnp.float32
+                ),
+                jax.ShapeDtypeStruct(
+                    (n_slab * n_win, nblk * nr, LANE), jnp.float32
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((n_fields, rows_blk, LANE), jnp.float32),
+                pltpu.VMEM((n_slab, n_fields, nr, LANE), jnp.float32),
+                pltpu.SemaphoreType.DMA((n_slab + 1,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(packed, aux)
+        return home_out, win_out
+
+    return call
+
+
+@functools.lru_cache(maxsize=32)
+def _build_density(grid: nb.BinnedGrid, interpret: bool = False):
+    plan = _plan_sym(grid)
+    cap = grid.cap
+    dim = grid.dim
+    h = _grid_h(grid)
+    h2 = h * h
+    coeff = _poly6_c(dim, h)
+    n_fields = dim + 1  # p_k..., mass
+    slabs = plan["slabs"]
+    rows_blk = plan["rows_blk"]
+    nr = plan["nr"]
+    nrc = cap // RCH
+
+    def kernel(packed_hbm, aux_ref, hout_ref, wout_ref, home_s, slab_s, sem):
+        i = pl.program_id(0)
+        hout_ref[0] = jnp.zeros((rows_blk, LANE), jnp.float32)
+        for s in range(len(slabs)):
+            wout_ref[s] = jnp.zeros((nr, LANE), jnp.float32)
+        occ = aux_ref[0, 0, 0]
+        n_chunks = aux_ref[0, 0, 1]
+
+        @pl.when(occ != 0)
+        def _():
+            hrow0 = plan["h0"] + i * rows_blk
+            pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(hrow0, rows_blk)], home_s, sem.at[0]
+            ).start()
+            for s, (q0, _, _) in enumerate(slabs):
+                pltpu.make_async_copy(
+                    packed_hbm.at[:, pl.ds(i * rows_blk + q0, nr)],
+                    slab_s.at[s],
+                    sem.at[1 + s],
+                ).start()
+            pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(hrow0, rows_blk)], home_s, sem.at[0]
+            ).wait()
+            homes = [
+                [home_s[f][:, b * cap : (b + 1) * cap] for b in range(4)]
+                for f in range(n_fields)
+            ]
+            for s, (q0, a0, is_self) in enumerate(slabs):
+                pltpu.make_async_copy(
+                    packed_hbm.at[:, pl.ds(i * rows_blk + q0, nr)],
+                    slab_s.at[s],
+                    sem.at[1 + s],
+                ).wait()
+                views = [
+                    _class_views(slab_s[s, f], cap) for f in range(n_fields)
+                ]
+                wacc = jnp.zeros((nr, LANE), jnp.float32)
+                rho_cls = []
+                for b in range(4):
+                    a = (b + a0) % 4
+                    roff = (b + a0) // 4
+                    win = [
+                        views[f][a][roff : roff + rows_blk][:, None, :]
+                        for f in range(n_fields)
+                    ]
+                    rho_rc = []
+                    wdep = jnp.zeros((rows_blk, LANE), jnp.float32)
+                    for rc in range(nrc):
+
+                        def chunk(wdep=wdep, rc=rc, b=b, win=win):
+                            r2 = jnp.zeros(
+                                (rows_blk, RCH, LANE), jnp.float32
+                            )
+                            hms = []
+                            for k in range(dim):
+                                hm = homes[k][b][
+                                    :, rc * RCH : (rc + 1) * RCH
+                                ]
+                                d = hm[:, :, None] - win[k]
+                                r2 = r2 + d * d
+                            q = jnp.maximum(h2 - r2, 0.0)
+                            wk = (coeff * q) * q * q
+                            if is_self:
+                                wk = jnp.where(_tri_mask(cap, rc)[None], wk, 0.0)
+                            m_h = homes[dim][b][
+                                :, rc * RCH : (rc + 1) * RCH
+                            ]
+                            rho_c = jnp.sum(win[dim] * wk, axis=2)
+                            wd = jnp.sum(m_h[:, :, None] * wk, axis=1)
+                            return rho_c, wd
+
+                        # occupancy-adaptive: ranks past the block max are
+                        # empty by the counting-sort invariant
+                        zero_rc = (
+                            jnp.zeros((rows_blk, RCH), jnp.float32),
+                            jnp.zeros((rows_blk, LANE), jnp.float32),
+                        )
+                        if NOCOND:
+                            rho_c, wd = chunk()
+                        else:
+                            rho_c, wd = lax.cond(
+                                rc < n_chunks, chunk, lambda: zero_rc
+                            )
+                        rho_rc.append(rho_c)
+                        wdep = wdep + wd
+                    rho_cls.append(jnp.concatenate(rho_rc, axis=1))
+                    wacc = _deposit(wdep, a, wacc, roff, rows_blk)
+                hout_ref[0] = hout_ref[0] + jnp.concatenate(rho_cls, axis=1)
+                wout_ref[s] = wacc
+
+    return plan, _make_call(grid, plan, n_fields, 1, 1, kernel, interpret)
+
+
+def density_sym(params, grid: nb.BinnedGrid, b, interpret: bool = False):
+    """Drop-in for wcsph_binned._density (single device, cap == 32).
+
+    Pairs computed once; the W(0) self term rides an elementwise pass."""
+    plan, fn = _build_density(grid, interpret)
+    cols = [b.pos[:, k] for k in range(grid.dim)] + [b.mass]
+    packed = _pack_rows(grid, plan, cols)
+    hout, wout = fn(packed, aux_rows(grid, b.mass))
+    rho = _combine(plan, grid, hout[0], [wout[s] for s in range(len(plan["slabs"]))])
+    h = _grid_h(grid)
+    w0 = _poly6_c(grid.dim, h) * h**6
+    rho = (rho + b.mass * w0).astype(b.mass.dtype)
+    rho = jnp.where(b.valid, rho, 0.0)
+    return jnp.maximum(rho, 1e-6 * params.rest_density)
+
+
+@functools.lru_cache(maxsize=32)
+def _build_forces(
+    grid: nb.BinnedGrid,
+    use_cohesion: bool,
+    use_xsph: bool,
+    interpret: bool = False,
+):
+    """Symmetric forces kernel.
+
+    Fields: p_k..., v_k..., mass, pr2, inv_rho  (m_rho = mass*inv_rho is
+    formed in-register). Aux lanes 8/9 carry traced viscosity mu and
+    surface-tension st, so outputs are final per-axis sums:
+      acc_k:  sum over pairs of  m_other * A_k,
+              A_k = -(p_term*gw + st*coh)*d_k/r + mu*invrho_i*invrho_j*lap*dv_k
+      xsph_k: sum of (m/rho)_other * W * dv_k   (eps applied outside)
+    Window-side gets the exact negations (antisymmetric core)."""
+    plan = _plan_sym(grid)
+    cap = grid.cap
+    dim = grid.dim
+    h = _grid_h(grid)
+    h2 = h * h
+    c_spiky = _spiky_c(dim, h)
+    c_visc = _visc_c(dim, h)
+    c_poly6 = _poly6_c(dim, h)
+    c_coh = 32.0 / (math.pi * h ** (9 if dim == 3 else 8))
+    h6_64 = h**6 / 64.0
+    F_MASS, F_PR2, F_IRHO = 2 * dim, 2 * dim + 1, 2 * dim + 2
+    n_fields = 2 * dim + 3
+    n_out = (2 if use_xsph else 1) * dim
+    slabs = plan["slabs"]
+    rows_blk = plan["rows_blk"]
+    nr = plan["nr"]
+    nrc = cap // RCH
+    tiny = 1e-12
+
+    def kernel(packed_hbm, aux_ref, hout_ref, wout_ref, home_s, slab_s, sem):
+        i = pl.program_id(0)
+        for j in range(n_out):
+            hout_ref[j] = jnp.zeros((rows_blk, LANE), jnp.float32)
+        for j in range(len(slabs) * n_out):
+            wout_ref[j] = jnp.zeros((nr, LANE), jnp.float32)
+        occ = aux_ref[0, 0, 0]
+        n_chunks = aux_ref[0, 0, 1]
+        mu = aux_ref[0, 0, 8]
+        st = aux_ref[0, 0, 9]
+
+        @pl.when(occ != 0)
+        def _():
+            hrow0 = plan["h0"] + i * rows_blk
+            pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(hrow0, rows_blk)], home_s, sem.at[0]
+            ).start()
+            for s, (q0, _, _) in enumerate(slabs):
+                pltpu.make_async_copy(
+                    packed_hbm.at[:, pl.ds(i * rows_blk + q0, nr)],
+                    slab_s.at[s],
+                    sem.at[1 + s],
+                ).start()
+            pltpu.make_async_copy(
+                packed_hbm.at[:, pl.ds(hrow0, rows_blk)], home_s, sem.at[0]
+            ).wait()
+
+            def hsl(f, b, rc):
+                return home_s[f][:, b * cap + rc * RCH : b * cap + (rc + 1) * RCH]
+
+            for s, (q0, a0, is_self) in enumerate(slabs):
+                pltpu.make_async_copy(
+                    packed_hbm.at[:, pl.ds(i * rows_blk + q0, nr)],
+                    slab_s.at[s],
+                    sem.at[1 + s],
+                ).wait()
+                views = [
+                    _class_views(slab_s[s, f], cap) for f in range(n_fields)
+                ]
+                cls_h = []  # per class: per output [rows_blk, cap]
+                for b in range(4):
+                    a = (b + a0) % 4
+                    roff = (b + a0) // 4
+
+                    def win(f):
+                        return views[f][a][roff : roff + rows_blk][:, None, :]
+
+                    h_rc = [[] for _ in range(n_out)]
+                    w_dep = [
+                        jnp.zeros((rows_blk, LANE), jnp.float32)
+                        for _ in range(n_out)
+                    ]
+                    for rc in range(nrc):
+
+                        def chunk(rc=rc, b=b, a=a, win=win):
+                            d = []
+                            r2 = jnp.zeros(
+                                (rows_blk, RCH, LANE), jnp.float32
+                            )
+                            for k in range(dim):
+                                dk = hsl(k, b, rc)[:, :, None] - win(k)
+                                d.append(dk)
+                                r2 = r2 + dk * dk
+                            inv_r = lax.rsqrt(jnp.maximum(r2, tiny))
+                            r = r2 * inv_r
+                            qs = jnp.maximum(h - r, 0.0)
+                            gw = c_spiky * qs * qs
+                            if is_self:
+                                gw = jnp.where(_tri_mask(cap, rc)[None], gw, 0.0)
+                            p_term = hsl(F_PR2, b, rc)[:, :, None] + win(F_PR2)
+                            radial = p_term * gw
+                            if use_cohesion:
+                                hr3 = qs * qs * qs
+                                r3 = r2 * r
+                                prod = hr3 * r3
+                                cval = jnp.where(
+                                    r <= 0.5 * h, 2.0 * prod - h6_64, prod
+                                )
+                                coh = jnp.where(
+                                    (r > 0.0) & (r < h), c_coh * cval, 0.0
+                                )
+                                if is_self:
+                                    coh = jnp.where(_tri_mask(cap, rc)[None], coh, 0.0)
+                                radial = radial + st * coh
+                            radial = radial * inv_r
+                            lap = c_visc * qs
+                            if is_self:
+                                lap = jnp.where(_tri_mask(cap, rc)[None], lap, 0.0)
+                            g = (
+                                (mu * hsl(F_IRHO, b, rc)[:, :, None])
+                                * win(F_IRHO)
+                            ) * lap
+                            m_h = hsl(F_MASS, b, rc)[:, :, None]
+                            m_w = win(F_MASS)
+                            outs = []
+                            if use_xsph:
+                                qp = jnp.maximum(h2 - r2, 0.0)
+                                wk = (c_poly6 * qp) * qp * qp
+                                if is_self:
+                                    wk = jnp.where(_tri_mask(cap, rc)[None], wk, 0.0)
+                                mr_h = m_h * hsl(F_IRHO, b, rc)[:, :, None]
+                                mr_w = m_w * win(F_IRHO)
+                            for k in range(dim):
+                                dv = win(dim + k) - hsl(dim + k, b, rc)[:, :, None]
+                                A = g * dv - radial * d[k]
+                                outs.append(
+                                    (
+                                        jnp.sum(m_w * A, axis=2),
+                                        -jnp.sum(m_h * A, axis=1),
+                                    )
+                                )
+                            if use_xsph:
+                                for k in range(dim):
+                                    dv = (
+                                        win(dim + k)
+                                        - hsl(dim + k, b, rc)[:, :, None]
+                                    )
+                                    X = wk * dv
+                                    outs.append(
+                                        (
+                                            jnp.sum(mr_w * X, axis=2),
+                                            -jnp.sum(mr_h * X, axis=1),
+                                        )
+                                    )
+                            return tuple(x for o in outs for x in o)
+
+                        zero = tuple(
+                            x
+                            for _ in range(n_out)
+                            for x in (
+                                jnp.zeros((rows_blk, RCH), jnp.float32),
+                                jnp.zeros((rows_blk, LANE), jnp.float32),
+                            )
+                        )
+                        if NOCOND:
+                            res = chunk()
+                        else:
+                            res = lax.cond(rc < n_chunks, chunk, lambda: zero)
+                        for j in range(n_out):
+                            h_rc[j].append(res[2 * j])
+                            w_dep[j] = w_dep[j] + res[2 * j + 1]
+                    cls_h.append(
+                        [jnp.concatenate(h_rc[j], axis=1) for j in range(n_out)]
+                    )
+                    for j in range(n_out):
+                        wout_ref[s * n_out + j] = _deposit(
+                            w_dep[j], a, wout_ref[s * n_out + j], roff, rows_blk
+                        )
+                for j in range(n_out):
+                    hout_ref[j] = hout_ref[j] + jnp.concatenate(
+                        [cls_h[b][j] for b in range(4)], axis=1
+                    )
+
+    return (
+        plan,
+        _make_call(grid, plan, n_fields, n_out, n_out, kernel, interpret),
+        n_out,
+    )
+
+
+def forces_sym(params, grid: nb.BinnedGrid, b, interpret: bool = False):
+    """Drop-in for wcsph_binned._forces (single device, cap == 32)."""
+    use_coh = bool(params.use_cohesion)
+    use_x = bool(params.use_xsph)
+    plan, fn, n_out = _build_forces(grid, use_coh, use_x, interpret)
+    dim = grid.dim
+    inv_rho = 1.0 / b.density
+    pr2 = b.pressure * inv_rho * inv_rho
+    cols = (
+        [b.pos[:, k] for k in range(dim)]
+        + [b.vel[:, k] for k in range(dim)]
+        + [b.mass, pr2, inv_rho]
+    )
+    packed = _pack_rows(grid, plan, cols)
+    aux = aux_rows(
+        grid, b.mass, scalars=(params.viscosity, params.surface_tension)
+    )
+    hout, wout = fn(packed, aux)
+    n_slab = len(plan["slabs"])
+    outs = []
+    for j in range(n_out):
+        outs.append(
+            _combine(
+                plan,
+                grid,
+                hout[j],
+                [wout[s * n_out + j] for s in range(n_slab)],
+            )
+        )
+    acc = jnp.stack(outs[:dim], axis=-1).astype(b.mass.dtype)
+    if use_x:
+        xsph = jnp.stack(outs[dim : 2 * dim], axis=-1).astype(b.mass.dtype)
+    else:
+        xsph = jnp.zeros_like(acc)
+    return acc, xsph

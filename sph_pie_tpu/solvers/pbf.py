@@ -28,19 +28,25 @@ from sph_pie_tpu.core.params import FluidParams
 from sph_pie_tpu.kernels import smoothing
 from sph_pie_tpu.neighbors import binned as nb
 from sph_pie_tpu.solvers.wcsph import boundary_accel, clamp_speed
-from sph_pie_tpu.solvers.wcsph_binned import _planar, _r2
+from sph_pie_tpu.solvers.wcsph_binned import _planar, _r2, maybe_rebin
 from sph_pie_tpu.utils.struct import pytree_dataclass, replace
 
 
-@pytree_dataclass(meta_fields=("iters",))
+@pytree_dataclass(meta_fields=("iters", "use_vorticity"))
 class PbfParams:
     """PBF solver knobs; FluidParams supplies h/dt/rho0/bounds/gravity."""
 
     iters: int                  # constraint iterations (static)
+    use_vorticity: bool         # static: False compiles the two extra
+                                # vorticity folds away entirely
     relax_eps: jax.Array        # CFM epsilon in lambda denominator
     s_corr_k: jax.Array         # artificial pressure strength
     s_corr_n: jax.Array         # artificial pressure exponent (4.0 typical)
     s_corr_dq: jax.Array        # reference distance as a fraction of h
+    vort_eps: jax.Array         # vorticity-confinement strength epsilon
+    sor: jax.Array              # under-relaxation of the Jacobi projection
+                                # (1.0 = raw; ~0.5 kills the overshoot
+                                # jitter of simultaneous corrections)
 
 
 def make_pbf_params(
@@ -49,18 +55,28 @@ def make_pbf_params(
     s_corr_k: float = 0.1,
     s_corr_n: float = 4.0,
     s_corr_dq: float = 0.3,
+    vort_eps: float = 0.0,
+    sor: float = 0.8,
     dtype=jnp.float32,
 ) -> PbfParams:
     """``s_corr_k`` is h-relative: the effective artificial-pressure
     coefficient is s_corr_k * h^2 (lambda carries length^2 units, so the
-    anti-clustering term must scale with h^2 to stay resolution-neutral)."""
+    anti-clustering term must scale with h^2 to stay resolution-neutral).
+
+    ``vort_eps`` > 0 enables vorticity confinement (Macklin & Mueller 2013
+    section 5): f = eps * (N x omega), N the normalised gradient of
+    |omega| — re-injects the rotational energy the Jacobi projection damps
+    (visible as livelier swirls)."""
     f = lambda v: jnp.asarray(v, dtype)
     return PbfParams(
         iters=int(iters),
+        use_vorticity=bool(vort_eps > 0.0),
         relax_eps=f(relax_eps),
         s_corr_k=f(s_corr_k),
         s_corr_n=f(s_corr_n),
         s_corr_dq=f(s_corr_dq),
+        vort_eps=f(vort_eps),
+        sor=f(sor),
     )
 
 
@@ -166,6 +182,92 @@ def _xsph_fold(params: FluidParams, grid, pos, vel, mass, rho):
     return jnp.stack(out, axis=-1)
 
 
+def _vorticity_fold(params: FluidParams, grid, pos, vel, mass, rho):
+    """omega_i = sum_j (m/rho)_j (v_j - v_i) x grad_i W_ij.
+
+    3D: full 3-vector curl; 2D: the scalar z-curl. grad_i W uses the spiky
+    kernel like the force gradients (standard PBF choice)."""
+    dim, h = params.dim, params.h
+    tiny = jnp.asarray(1e-12, params.h.dtype)
+    m_rho = mass / jnp.maximum(rho, 1e-6 * params.rest_density)
+    n_out = 3 if dim == 3 else 1
+
+    def pair(carry, hm, w):
+        d, r2 = _r2(dim, hm, w)
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, tiny))
+        r = r2 * inv_r
+        gw = smoothing.spiky_grad_mag(dim, h, r) * inv_r
+        coef = w["m_rho"][:, None, :] * gw          # [blk, cap, 3cap]
+        dv = [
+            w[f"v{k}"][:, None, :] - hm[f"v{k}"][:, :, None]
+            for k in range(dim)
+        ]
+        g = [coef * d[k] for k in range(dim)]       # grad_i W components
+        if dim == 3:
+            terms = (
+                dv[1] * g[2] - dv[2] * g[1],
+                dv[2] * g[0] - dv[0] * g[2],
+                dv[0] * g[1] - dv[1] * g[0],
+            )
+        else:
+            terms = (dv[0] * g[1] - dv[1] * g[0],)
+        return tuple(c + jnp.sum(t, axis=2) for c, t in zip(carry, terms))
+
+    fields = {
+        **_planar("p", pos),
+        **_planar("v", vel),
+        "mass": mass,
+        "m_rho": m_rho,
+    }
+    zero = jnp.zeros((grid.num_slots,), pos.dtype)
+    out = nb.slab_fold(grid, fields, pair, tuple(zero for _ in range(n_out)))
+    return jnp.stack(out, axis=-1)                  # [S, 3] or [S, 1]
+
+
+def _vorticity_force(params: FluidParams, grid, pos, mass, rho, omega):
+    """f = eps * (N x omega), N = normalised grad|omega| (eta).
+
+    eta_i = sum_j (m/rho)_j |omega_j| grad_i W_ij — points toward higher
+    vorticity, so the confinement force spins existing vortices up rather
+    than creating rotation from nothing."""
+    dim, h = params.dim, params.h
+    tiny = jnp.asarray(1e-12, params.h.dtype)
+    m_rho = mass / jnp.maximum(rho, 1e-6 * params.rest_density)
+    wmag = jnp.sqrt(jnp.maximum(jnp.sum(omega * omega, axis=-1), 0.0))
+
+    def pair(carry, hm, w):
+        d, r2 = _r2(dim, hm, w)
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, tiny))
+        r = r2 * inv_r
+        gw = smoothing.spiky_grad_mag(dim, h, r) * inv_r
+        coef = w["m_rho"][:, None, :] * w["wmag"][:, None, :] * gw
+        return tuple(
+            c + jnp.sum(coef * d[k], axis=2) for c, k in zip(carry, range(dim))
+        )
+
+    fields = {
+        **_planar("p", pos),
+        "mass": mass,
+        "m_rho": m_rho,
+        "wmag": wmag,
+    }
+    zero = jnp.zeros((grid.num_slots,), pos.dtype)
+    eta = jnp.stack(
+        nb.slab_fold(grid, fields, pair, tuple(zero for _ in range(dim))),
+        axis=-1,
+    )
+    n_hat = eta * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(eta * eta, axis=-1, keepdims=True), tiny)
+    )
+    if dim == 3:
+        f = jnp.cross(n_hat, omega)
+    else:
+        # omega is the scalar z-curl: (N x w zhat) = (N_y w, -N_x w)
+        w_z = omega[:, 0]
+        f = jnp.stack([n_hat[:, 1] * w_z, -n_hat[:, 0] * w_z], axis=-1)
+    return f
+
+
 @partial(jax.jit, static_argnames=("grid",))
 def step(
     params: FluidParams,
@@ -174,14 +276,31 @@ def step(
     b: nb.BinnedState,
     obstacles=None,
 ) -> nb.BinnedState:
-    """One PBF step in binned space (conditional amortised rebin)."""
-    from sph_pie_tpu.solvers.wcsph_binned import maybe_rebin
+    """One PBF step in binned space.
 
-    # The lazy displacement check compares net drift (pos vs bin_pos);
-    # intra-step constraint excursions are still covered because
-    # ``travel`` keeps accumulating every intermediate move bound below.
+    Cell-list exactness: PBF moves particles BETWEEN folds (the predict
+    step and every constraint projection), so unlike WCSPH one rebin check
+    per step is not enough — the round-1 implementation left projections
+    unclamped and the measured true drift reached 6x the skin/2 guarantee,
+    silently dropping deep-support pairs (and the apparent "collapse" was
+    a projection blow-up saturating the speed clamp). This version:
+
+      * runs ``maybe_rebin`` before EVERY fold, including between
+        constraint iterations. Step-start positions (needed for the final
+        velocity update after slots permute in a mid-step rebin) ride the
+        ``vel`` field, which the iterations don't otherwise read.
+      * under-relaxes the Jacobi projection (``pbf.sor``) — simultaneous
+        neighbor corrections overshoot at full step, which is the jitter
+        that round 1's dynamics hid by clamping at max_speed.
+      * hard-caps a single projection at skin/2 (never observed at sor
+        0.5; a pure safety net for the skin bookkeeping below).
+    """
     b = maybe_rebin(grid, b)
-    valid = (b.valid & ~nb.frozen_mask(grid, b))[:, None]
+
+    def fmask(bb):
+        return (bb.valid & ~nb.frozen_mask(grid, bb))[:, None]
+
+    valid = fmask(b)
 
     # Predict
     acc = jnp.zeros_like(b.pos) + params.gravity
@@ -194,33 +313,61 @@ def step(
     vel = clamp_speed(params, vel)
     x_star = jnp.where(valid, b.pos + params.dt * vel, b.pos)
 
-    # Verlet-skin bookkeeping must bound every intermediate move, not just
-    # net displacement — constraint iterations shift particles too.
     def max_norm(v):
         return jnp.sqrt(jnp.maximum(jnp.max(jnp.sum(v * v, -1)), 0.0))
 
-    step_disp = max_norm(x_star - b.pos)
+    # Stash step-start positions in the vel slot so they survive mid-step
+    # rebins (rebin re-sorts all payload columns together).
+    b = replace(
+        b,
+        pos=x_star,
+        vel=jnp.where(valid, b.pos, 0.0),
+        travel=b.travel + max_norm(x_star - b.pos),
+    )
 
-    # Constraint iterations (fixed count, static)
-    def iter_body(_, carry):
-        x, dacc = carry
-        fields = {**_planar("p", x), "mass": b.mass}
+    proj_cap = 0.5 * grid.skin
+
+    def iter_body(_, bb):
+        bb = maybe_rebin(grid, bb)
+        v = fmask(bb)
+        fields = {**_planar("p", bb.pos), "mass": bb.mass}
         lam, _ = _lambda_fold(params, pbf, grid, fields)
         fields_l = {**fields, "lam": lam}
-        dx = _dx_fold(params, pbf, grid, fields_l)
-        dx = jnp.where(valid, dx, 0.0)
-        x = jnp.clip(x + dx, params.bound_min, params.bound_max)
-        return (x, dacc + max_norm(dx))
+        dx = pbf.sor * _dx_fold(params, pbf, grid, fields_l)
+        n2 = jnp.sum(dx * dx, axis=-1, keepdims=True)
+        n = jnp.sqrt(jnp.maximum(n2, 1e-30))
+        dx = jnp.where(v, dx * jnp.minimum(1.0, proj_cap / n), 0.0)
+        x = jnp.clip(bb.pos + dx, params.bound_min, params.bound_max)
+        return replace(
+            bb,
+            pos=jnp.where(v, x, bb.pos),
+            travel=bb.travel + max_norm(dx),
+        )
 
-    x_star, step_disp = lax.fori_loop(0, pbf.iters, iter_body, (x_star, step_disp))
+    b = lax.fori_loop(0, pbf.iters, iter_body, b)
+    b = maybe_rebin(grid, b)
+    valid = fmask(b)
+    x_star = b.pos
+    pos0 = b.vel  # step-start positions stashed above
 
-    new_vel = jnp.where(valid, (x_star - b.pos) / params.dt, 0.0)
+    new_vel = jnp.where(valid, (x_star - pos0) / params.dt, 0.0)
     new_vel = clamp_speed(params, new_vel)
 
-    # Final density (diagnostics/rendering + XSPH weights)
+    # Final density (diagnostics/rendering + XSPH/vorticity weights)
     fields = {**_planar("p", x_star), "mass": b.mass}
     _, rho = _lambda_fold(params, pbf, grid, fields)
     rho = jnp.maximum(rho, 1e-6 * params.rest_density)  # safe 1/rho everywhere
+
+    if pbf.use_vorticity:
+        # Vorticity confinement (Macklin & Mueller 2013 section 5) —
+        # computed on the projected positions/velocities, applied as an
+        # acceleration before XSPH so the smoothing also regularises it.
+        omega = _vorticity_fold(params, grid, x_star, new_vel, b.mass, rho)
+        f_vort = _vorticity_force(params, grid, x_star, b.mass, rho, omega)
+        new_vel = new_vel + (pbf.vort_eps * params.dt) * jnp.where(
+            valid, f_vort, 0.0
+        )
+        new_vel = jnp.where(valid, clamp_speed(params, new_vel), 0.0)
 
     if params.use_xsph:
         # XSPH velocity smoothing — "important for coherent motion"
@@ -231,13 +378,7 @@ def step(
         )
         new_vel = jnp.where(valid, clamp_speed(params, new_vel), 0.0)
 
-    return replace(
-        b,
-        pos=jnp.where(valid, x_star, b.pos),
-        vel=new_vel,
-        density=rho,
-        travel=b.travel + step_disp,
-    )
+    return replace(b, vel=new_vel, density=rho)
 
 
 @partial(jax.jit, static_argnames=("grid",))

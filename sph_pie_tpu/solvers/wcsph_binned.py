@@ -53,6 +53,22 @@ def _r2(dim, home, w):
     return d, r2
 
 
+def _use_pallas_sym(grid: nb.BinnedGrid, halo, local_cells) -> bool:
+    """Route the pair phases through the symmetric Pallas kernels when the
+    grid is eligible. "auto" engages on the TPU backend only — CPU (tests,
+    oracles) keeps the XLA fold, whose results the Pallas kernels are
+    equivalence-tested against (tests/test_pallas_sym.py)."""
+    if halo is not None or local_cells is not None or grid.cap != 32:
+        return False
+    if grid.pair_kernel == "sym":
+        return True
+    if grid.pair_kernel == "auto":
+        import jax
+
+        return jax.default_backend() in ("tpu", "axon")
+    return False
+
+
 def _density(
     params: FluidParams,
     grid: nb.BinnedGrid,
@@ -65,6 +81,10 @@ def _density(
     ``b`` needs .pos/.mass flat arrays; with halo/local_cells the fold runs
     on a device-local slab (parallel/halo.py)."""
     dim, h = params.dim, params.h
+    if _use_pallas_sym(grid, halo, local_cells):
+        from sph_pie_tpu.neighbors import pallas_sym
+
+        return pallas_sym.density_sym(params, grid, b)
     if halo is None and local_cells is None and grid.symmetric_fold:
         return _density_sym(params, grid, b)
 
@@ -193,6 +213,10 @@ def _forces(
     local_cells: int | None = None,
 ):
     """Pressure + viscosity + cohesion accel and XSPH sum over home slots."""
+    if _use_pallas_sym(grid, halo, local_cells):
+        from sph_pie_tpu.neighbors import pallas_sym
+
+        return pallas_sym.forces_sym(params, grid, b)
     if halo is None and local_cells is None and grid.symmetric_fold:
         return _forces_sym(params, grid, b)
     dim, h = params.dim, params.h
@@ -276,30 +300,35 @@ def _forces(
     return jnp.stack(acc, axis=-1), jnp.stack(xsph, axis=-1)
 
 
-def maybe_rebin(grid: nb.BinnedGrid, b: nb.BinnedState) -> nb.BinnedState:
+def maybe_rebin(
+    grid: nb.BinnedGrid, b: nb.BinnedState, threshold: float | None = None
+) -> nb.BinnedState:
     """Two-stage lazy rebin trigger.
 
     ``travel`` (sum of per-step max displacement bounds) is cheap but very
     conservative in oscillatory flow. When it trips, measure the TRUE max
     displacement against the bin-time anchor (``bin_pos``, one O(S) pass,
-    ~6 ms at 1M on v5e): rebin only if a particle actually drifted more
-    than skin/2, otherwise tighten ``travel`` to the measured bound. The
-    cell-list exactness guarantee only needs true displacement <= skin/2,
-    so this preserves it while cutting rebin frequency ~2-4x late-run
-    (where a full rebin costs two orders of magnitude more than the check).
+    ~6 ms at 1M on v5e): rebin only if a particle actually drifted past
+    ``threshold``, otherwise tighten ``travel`` to the measured bound. The
+    cell-list exactness guarantee needs (drift at fold time) <= skin/2;
+    WCSPH folds once right after this check, so the default threshold is
+    skin/2. Solvers that keep moving particles between folds within one
+    step (PBF's constraint iterations) pass a tighter threshold and clamp
+    their intra-step moves so drift + moves stays <= skin/2.
     """
+    thr = 0.5 * grid.skin if threshold is None else threshold
 
     def check(x):
         d2 = jnp.sum((x.pos - x.bin_pos) ** 2, axis=-1)
         d = jnp.sqrt(jnp.max(d2))
         return lax.cond(
-            d > 0.5 * grid.skin,
+            d > thr,
             lambda y: nb.rebin(grid, y),
             lambda y: replace(y, travel=d),
             x,
         )
 
-    return lax.cond(b.travel > 0.5 * grid.skin, check, lambda x: x, b)
+    return lax.cond(b.travel > thr, check, lambda x: x, b)
 
 
 @partial(jax.jit, static_argnames=("grid",))

@@ -147,3 +147,45 @@ def test_symmetric_fold_matches_one_sided():
         dx = np.abs(np.asarray(xs_s) - np.asarray(xs_o))[valid]
         xscale = float(np.abs(np.asarray(xs_o)[valid]).max())
         assert dx.max() / max(xscale, 1e-12) < 3e-5
+
+
+def test_adaptive_rows_fold_matches_static():
+    """Per-block dynamic home-row fold == static fold (fp-tiling tolerance)."""
+    import dataclasses
+
+    from sph_pie_tpu.kernels import eos
+    from sph_pie_tpu.scenes import dam_break_2d, dam_break_3d
+    from sph_pie_tpu.solvers import wcsph_binned
+    from sph_pie_tpu.utils.struct import replace as srep
+
+    for scene in (dam_break_2d(n_target=900), dam_break_3d(n_target=2000)):
+        g_ad = dataclasses.replace(scene.bgrid, adaptive_rows=8)
+        g_st = dataclasses.replace(
+            scene.bgrid, adaptive_rows=0, home_tier=0
+        )
+        b = scene.binned_state()
+        b = wcsph_binned.simulate(scene.params, g_st, b, 20)
+
+        valid = np.asarray(b.valid)
+        rho_a = np.asarray(wcsph_binned._density(scene.params, g_ad, b))
+        rho_s = np.asarray(wcsph_binned._density(scene.params, g_st, b))
+        # segments partition home rows; only XLA's lane-reduce tiling
+        # differs between the [blk,seg,*] and [blk,cap,*] shapes
+        np.testing.assert_allclose(rho_a[valid], rho_s[valid], rtol=1e-6)
+
+        rho = wcsph_binned._density(scene.params, g_st, b)
+        b2 = srep(
+            b, density=rho, pressure=eos.tait_pressure(scene.params, rho)
+        )
+        acc_a, xs_a = wcsph_binned._forces(scene.params, g_ad, b2)
+        acc_s, xs_s = wcsph_binned._forces(scene.params, g_st, b2)
+        scale = float(np.abs(np.asarray(acc_s)[valid]).max()) or 1.0
+        assert (
+            np.abs(np.asarray(acc_a) - np.asarray(acc_s))[valid].max() / scale
+            < 1e-6
+        )
+        xscale = max(float(np.abs(np.asarray(xs_s)[valid]).max()), 1e-12)
+        assert (
+            np.abs(np.asarray(xs_a) - np.asarray(xs_s))[valid].max() / xscale
+            < 1e-6
+        )
