@@ -90,9 +90,12 @@ def v2_full(p, v, m, a):
         valid=jnp.zeros((S,), jnp.bool_).at[slot].set(fits, mode="drop"),
         owner=jnp.full((S,), -1, jnp.int32).at[slot].set(sown, mode="drop"),
         slot_of=jnp.full((K,), S, jnp.int32).at[sown].set(slot, mode="drop"),
+        bin_pos=jnp.stack([scat(px), scat(py), scat(pz)], axis=-1),
         travel=jnp.zeros((), dt),
         overflow=jnp.sum((nb._cell_ids(g, p, a) < g.num_cells).astype(jnp.int32))
         - jnp.sum(fits.astype(jnp.int32)),
+        n_rebins=jnp.zeros((), jnp.int32),
+        sim_time=jnp.zeros((), dt),
     )
 
 

@@ -31,6 +31,7 @@ from typing import Callable, TypeVar
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from sph_pie_tpu.core.state import ParticleState, allocate
@@ -102,6 +103,15 @@ class BinnedGrid:
                                # 0.57x of the fold (Mosaic per-op
                                # inefficiency on the chunked tiles, under
                                # investigation in ROADMAP).
+    periodic: tuple[bool, ...] = ()  # per GRID axis (axis_order space):
+                               # True = wrap. Periodic axes fill their
+                               # ghost-border cells each step with images
+                               # of the opposite interior edge (positions
+                               # offset by the domain length) — the slab
+                               # windows then see exact periodic
+                               # neighbors with zero changes to the fold.
+                               # Incompatible with margin_cells on the
+                               # same axis (walls vs wrap).
     adaptive_rows: int = 0     # if 0 < a and a | cap: per-block DYNAMIC
                                # home-row bound. Each block runs a
                                # while_loop over a-row segments up to
@@ -161,6 +171,7 @@ def binned_grid_from_bounds(
     axis_order: tuple[int, ...] | None = None,
     home_tier: int = 0,
     margin_cells: int = 0,
+    periodic: tuple[bool, ...] | None = None,
 ) -> BinnedGrid:
     """Grid whose cells are h*(1+skin_frac) wide; rebin is needed only when
     a particle may have moved more than skin/2 since the last binning.
@@ -185,6 +196,14 @@ def binned_grid_from_bounds(
     if axis_order is None:
         axis_order = tuple(range(dim))
     m = int(margin_cells)
+    per_g = (
+        tuple(bool(periodic[a]) for a in axis_order) if periodic else ()
+    )
+    if any(per_g) and m:
+        raise ValueError(
+            "margin_cells and periodic are mutually exclusive (margins "
+            "hold wall penetrators; periodic axes have no walls)"
+        )
     dims = tuple(
         max(1, int(math.ceil((bmax[a] - bmin[a]) / cell)) + 2 * m)
         for a in axis_order
@@ -198,6 +217,7 @@ def binned_grid_from_bounds(
         max_particles=int(max_particles),
         axis_order=tuple(axis_order),
         home_tier=int(home_tier) if 0 < home_tier < cap else 0,
+        periodic=per_g,
     )
     if block_cells is None:
         # Small blocks win twice in 3D: finer empty-block skip granularity
@@ -233,22 +253,39 @@ class BinnedState:
                          # in oscillatory late-stage flow)
     travel: jax.Array    # [] upper bound on per-particle displacement since bin
     overflow: jax.Array  # [] int32 — particles dropped because a cell overflowed
+    n_rebins: jax.Array  # [] int32 — re-sorts since bin_state (perf counter)
+    sim_time: jax.Array  # [] simulated seconds since bin_state — drives
+                         # time-dependent boundaries (moving obstacles)
 
 
 def _cell_ids(grid: BinnedGrid, pos, valid):
-    """Padded-grid flat cell id per row; invalid rows -> sentinel past end."""
+    """Padded-grid flat cell id per row; invalid rows -> sentinel past end.
+
+    Non-periodic axes CLIP penetrators into the edge ring (see
+    margin_cells); periodic axes WRAP them modulo the interior width, so a
+    particle leaving one side re-bins on the other."""
     order = grid.axis_order or tuple(range(grid.dim))
     pos_g = pos[:, list(order)]  # spatial columns permuted into grid order
     origin = jnp.asarray(grid.origin, pos.dtype)
     rel = (pos_g - origin) / grid.cell_size
-    coords = jnp.floor(rel).astype(jnp.int32) + 1  # +1: ghost border offset
+    coords = jnp.floor(rel).astype(jnp.int32)      # interior-relative
     pd = jnp.asarray(grid.padded_dims, jnp.int32)
-    coords = jnp.clip(coords, 1, pd - 2)  # interior only; border stays empty
+    dims = jnp.asarray(grid.dims, jnp.int32)
+    wrapped = jnp.mod(coords, dims) + 1
+    clipped = jnp.clip(coords + 1, 1, pd - 2)
+    if any(grid.periodic):
+        per = jnp.asarray(grid.periodic, jnp.bool_)
+        coords = jnp.where(per[None, :], wrapped, clipped)
+    else:
+        coords = clipped
     cid = jnp.sum(coords * jnp.asarray(grid.strides, jnp.int32), axis=-1)
     return jnp.where(valid, cid, jnp.int32(grid.num_cells))
 
 
-def _bin_rows(grid: BinnedGrid, pos, vel, mass, owner, valid) -> BinnedState:
+def _bin_rows(
+    grid: BinnedGrid, pos, vel, mass, owner, valid, n_rebins=None,
+    sim_time=None,
+) -> BinnedState:
     """Counting-sort K compact rows into the dense slot layout. O(K log K).
 
     ``owner`` must be the particle index of each row (rows are the compact
@@ -262,6 +299,22 @@ def _bin_rows(grid: BinnedGrid, pos, vel, mass, owner, valid) -> BinnedState:
     """
     n = pos.shape[0]
     dim = grid.dim
+    if any(grid.periodic):
+        # Fold positions into the primary box on periodic axes AT BIN TIME
+        # only: between rebins they may drift <= skin/2 past the seam,
+        # which the wrapped cell ids and ghost images still cover, and
+        # keeping them continuous preserves the lazy-rebin drift check.
+        order = grid.axis_order or tuple(range(grid.dim))
+        cols = []
+        for s_axis in range(dim):
+            g_axis = order.index(s_axis)
+            if grid.periodic[g_axis]:
+                o = grid.origin[g_axis]
+                L = grid.dims[g_axis] * grid.cell_size
+                cols.append(o + jnp.mod(pos[:, s_axis] - o, L))
+            else:
+                cols.append(pos[:, s_axis])
+        pos = jnp.stack(cols, axis=-1)
     cid = _cell_ids(grid, pos, valid)
 
     # One sort, all payloads riding with the key.
@@ -353,6 +406,12 @@ def _bin_rows(grid: BinnedGrid, pos, vel, mass, owner, valid) -> BinnedState:
         overflow=jnp.sum(
             (cid < grid.num_cells).astype(jnp.int32)
         ) - jnp.sum(fits.astype(jnp.int32)),
+        n_rebins=(
+            jnp.zeros((), jnp.int32) if n_rebins is None else n_rebins
+        ),
+        sim_time=(
+            jnp.zeros((), dt) if sim_time is None else sim_time
+        ),
     )
     return out
 
@@ -394,6 +453,60 @@ def bin_state(
     return _bin_rows(grid, pos, vel, mass, owner, valid)
 
 
+def wrap_ghosts(grid: BinnedGrid, b: BinnedState) -> BinnedState:
+    """Refresh ghost-border cells of periodic axes with images of the
+    opposite interior edge (positions offset by the domain length).
+
+    Axis-at-a-time sequential wrapping composes corners/edges for free:
+    after axis k is wrapped, axis k+1 copies rows that already contain
+    axis-k images. All copies are static slices via per-axis reshapes —
+    zero gathers, cost O(border slots). Called once per step BEFORE the
+    pair folds; image positions therefore track their sources exactly
+    (sources obey the Verlet-skin bound, so images do too)."""
+    if not any(grid.periodic):
+        return b
+    pd = grid.padded_dims
+    cap = grid.cap
+    order = grid.axis_order or tuple(range(grid.dim))
+
+    def wrap_axis(x, axis, offset):
+        """x: flat [S, ...]; copy interior edge planes into ghost planes
+        along grid ``axis``; ``offset`` is added (spatial vector) or None."""
+        lead = int(np.prod(pd[:axis])) if axis else 1
+        width = pd[axis]
+        tail_cells = int(np.prod(pd[axis + 1 :])) * cap
+        x5 = x.reshape((lead, width, tail_cells) + x.shape[1:])
+        lo_img = x5[:, -2:-1]  # interior high edge -> low ghost
+        hi_img = x5[:, 1:2]    # interior low edge  -> high ghost
+        if offset is not None:
+            lo_img = lo_img - offset
+            hi_img = hi_img + offset
+        x5 = jnp.concatenate([lo_img, x5[:, 1:-1], hi_img], axis=1)
+        return x5.reshape(x.shape)
+
+    pos, vel, mass = b.pos, b.vel, b.mass
+    valid, owner, bin_pos = b.valid, b.owner, b.bin_pos
+    for g_axis, per in enumerate(grid.periodic):
+        if not per:
+            continue
+        s_axis = order[g_axis]
+        length = grid.dims[g_axis] * grid.cell_size
+        off = jnp.zeros((grid.dim,), pos.dtype).at[s_axis].set(length)
+        pos = wrap_axis(pos, g_axis, off)
+        # bin_pos must mirror the image offset too, else the lazy-rebin
+        # true-drift check sees a phantom |pos - 0| = domain-length drift
+        # on every populated ghost slot and rebins every step
+        bin_pos = wrap_axis(bin_pos, g_axis, off)
+        vel = wrap_axis(vel, g_axis, None)
+        mass = wrap_axis(mass, g_axis, None)
+        valid = wrap_axis(valid, g_axis, None)
+        owner = wrap_axis(owner, g_axis, None)
+    return replace(
+        b, pos=pos, vel=vel, mass=mass, valid=valid, owner=owner,
+        bin_pos=bin_pos,
+    )
+
+
 def frozen_mask(grid: BinnedGrid, b: BinnedState) -> jax.Array:
     """[S] bool: slot holds a frozen boundary particle (owner in the
     trailing n_boundary compact rows)."""
@@ -425,7 +538,9 @@ def rebin(grid: BinnedGrid, b: BinnedState) -> BinnedState:
     """
     pos, vel, mass, alive = _compact(grid, b)
     owner = jnp.arange(pos.shape[0], dtype=jnp.int32)
-    return _bin_rows(grid, pos, vel, mass, owner, alive)
+    return _bin_rows(
+        grid, pos, vel, mass, owner, alive, b.n_rebins + 1, b.sim_time
+    )
 
 
 def unbin(grid: BinnedGrid, b: BinnedState, capacity: int) -> ParticleState:

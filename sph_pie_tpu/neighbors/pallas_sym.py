@@ -73,6 +73,16 @@ import os
 # this block size.
 RCH = int(os.environ.get("SPH_PIE_SYM_RCH", "32"))
 NOCOND = os.environ.get("SPH_PIE_SYM_NOCOND", "1") == "1"
+# Rows (lane-rows of 4 cells) per inner group: bounds the live pair-tile
+# set to ~n_live x RG*RCH*128*4B so Mosaic register allocation stays in
+# VMEM-resident working set instead of spilling (the [64, cap, 128] whole-
+# block tiles measured ~0.5x XLA's per-op throughput).
+RGRP = int(os.environ.get("SPH_PIE_SYM_RGRP", "8"))
+# Ablation probe for the forces kernel ("nowin" drops the window-side
+# sublane reductions, "nohome" the home-side lane reductions) — isolates
+# which reduction family costs the Mosaic/XLA efficiency gap. NOT correct
+# physics; only for scripts/micro_pallas_sym.py timing.
+ABLATE = os.environ.get("SPH_PIE_SYM_ABLATE", "")
 
 
 def _plan_sym(grid: nb.BinnedGrid):
@@ -299,55 +309,68 @@ def _build_density(grid: nb.BinnedGrid, interpret: bool = False):
                 ]
                 wacc = jnp.zeros((nr, LANE), jnp.float32)
                 rho_cls = []
+                n_rg = rows_blk // RGRP
                 for b in range(4):
                     a = (b + a0) % 4
                     roff = (b + a0) // 4
-                    win = [
-                        views[f][a][roff : roff + rows_blk][:, None, :]
-                        for f in range(n_fields)
-                    ]
-                    rho_rc = []
-                    wdep = jnp.zeros((rows_blk, LANE), jnp.float32)
-                    for rc in range(nrc):
-
-                        def chunk(wdep=wdep, rc=rc, b=b, win=win):
-                            r2 = jnp.zeros(
-                                (rows_blk, RCH, LANE), jnp.float32
-                            )
-                            hms = []
-                            for k in range(dim):
-                                hm = homes[k][b][
-                                    :, rc * RCH : (rc + 1) * RCH
-                                ]
-                                d = hm[:, :, None] - win[k]
-                                r2 = r2 + d * d
-                            q = jnp.maximum(h2 - r2, 0.0)
-                            wk = (coeff * q) * q * q
-                            if is_self:
-                                wk = jnp.where(_tri_mask(cap, rc)[None], wk, 0.0)
-                            m_h = homes[dim][b][
-                                :, rc * RCH : (rc + 1) * RCH
+                    rho_rg, wd_rg = [], []
+                    for rg in range(n_rg):
+                        r0 = rg * RGRP
+                        win = [
+                            views[f][a][roff + r0 : roff + r0 + RGRP][
+                                :, None, :
                             ]
-                            rho_c = jnp.sum(win[dim] * wk, axis=2)
-                            wd = jnp.sum(m_h[:, :, None] * wk, axis=1)
-                            return rho_c, wd
+                            for f in range(n_fields)
+                        ]
+                        rho_rc = []
+                        wdep = jnp.zeros((RGRP, LANE), jnp.float32)
+                        for rc in range(nrc):
 
-                        # occupancy-adaptive: ranks past the block max are
-                        # empty by the counting-sort invariant
-                        zero_rc = (
-                            jnp.zeros((rows_blk, RCH), jnp.float32),
-                            jnp.zeros((rows_blk, LANE), jnp.float32),
-                        )
-                        if NOCOND:
-                            rho_c, wd = chunk()
-                        else:
-                            rho_c, wd = lax.cond(
-                                rc < n_chunks, chunk, lambda: zero_rc
+                            def chunk(rc=rc, b=b, win=win, r0=r0):
+                                r2 = jnp.zeros(
+                                    (RGRP, RCH, LANE), jnp.float32
+                                )
+                                for k in range(dim):
+                                    hm = homes[k][b][
+                                        r0 : r0 + RGRP,
+                                        rc * RCH : (rc + 1) * RCH,
+                                    ]
+                                    d = hm[:, :, None] - win[k]
+                                    r2 = r2 + d * d
+                                q = jnp.maximum(h2 - r2, 0.0)
+                                wk = (coeff * q) * q * q
+                                if is_self:
+                                    wk = jnp.where(
+                                        _tri_mask(cap, rc)[None], wk, 0.0
+                                    )
+                                m_h = homes[dim][b][
+                                    r0 : r0 + RGRP,
+                                    rc * RCH : (rc + 1) * RCH,
+                                ]
+                                rho_c = jnp.sum(win[dim] * wk, axis=2)
+                                wd = jnp.sum(m_h[:, :, None] * wk, axis=1)
+                                return rho_c, wd
+
+                            # occupancy-adaptive: ranks past the block max
+                            # are empty by the counting-sort invariant
+                            zero_rc = (
+                                jnp.zeros((RGRP, RCH), jnp.float32),
+                                jnp.zeros((RGRP, LANE), jnp.float32),
                             )
-                        rho_rc.append(rho_c)
-                        wdep = wdep + wd
-                    rho_cls.append(jnp.concatenate(rho_rc, axis=1))
-                    wacc = _deposit(wdep, a, wacc, roff, rows_blk)
+                            if NOCOND:
+                                rho_c, wd = chunk()
+                            else:
+                                rho_c, wd = lax.cond(
+                                    rc < n_chunks, chunk, lambda: zero_rc
+                                )
+                            rho_rc.append(rho_c)
+                            wdep = wdep + wd
+                        rho_rg.append(jnp.concatenate(rho_rc, axis=1))
+                        wd_rg.append(wdep)
+                    rho_cls.append(jnp.concatenate(rho_rg, axis=0))
+                    wacc = _deposit(
+                        jnp.concatenate(wd_rg, axis=0), a, wacc, roff, rows_blk
+                    )
                 hout_ref[0] = hout_ref[0] + jnp.concatenate(rho_cls, axis=1)
                 wout_ref[s] = wacc
 
@@ -445,113 +468,145 @@ def _build_forces(
                     _class_views(slab_s[s, f], cap) for f in range(n_fields)
                 ]
                 cls_h = []  # per class: per output [rows_blk, cap]
+                n_rg = rows_blk // RGRP
                 for b in range(4):
                     a = (b + a0) % 4
                     roff = (b + a0) // 4
+                    h_rg = [[] for _ in range(n_out)]
+                    w_rg = [[] for _ in range(n_out)]
+                    for rg in range(n_rg):
+                        r0 = rg * RGRP
 
-                    def win(f):
-                        return views[f][a][roff : roff + rows_blk][:, None, :]
+                        def win(f, r0=r0):
+                            return views[f][a][
+                                roff + r0 : roff + r0 + RGRP
+                            ][:, None, :]
 
-                    h_rc = [[] for _ in range(n_out)]
-                    w_dep = [
-                        jnp.zeros((rows_blk, LANE), jnp.float32)
-                        for _ in range(n_out)
-                    ]
-                    for rc in range(nrc):
+                        def hsl(f, b, rc, r0=r0):
+                            return home_s[f][
+                                r0 : r0 + RGRP,
+                                b * cap + rc * RCH : b * cap + (rc + 1) * RCH,
+                            ]
 
-                        def chunk(rc=rc, b=b, a=a, win=win):
-                            d = []
-                            r2 = jnp.zeros(
-                                (rows_blk, RCH, LANE), jnp.float32
-                            )
-                            for k in range(dim):
-                                dk = hsl(k, b, rc)[:, :, None] - win(k)
-                                d.append(dk)
-                                r2 = r2 + dk * dk
-                            inv_r = lax.rsqrt(jnp.maximum(r2, tiny))
-                            r = r2 * inv_r
-                            qs = jnp.maximum(h - r, 0.0)
-                            gw = c_spiky * qs * qs
-                            if is_self:
-                                gw = jnp.where(_tri_mask(cap, rc)[None], gw, 0.0)
-                            p_term = hsl(F_PR2, b, rc)[:, :, None] + win(F_PR2)
-                            radial = p_term * gw
-                            if use_cohesion:
-                                hr3 = qs * qs * qs
-                                r3 = r2 * r
-                                prod = hr3 * r3
-                                cval = jnp.where(
-                                    r <= 0.5 * h, 2.0 * prod - h6_64, prod
-                                )
-                                coh = jnp.where(
-                                    (r > 0.0) & (r < h), c_coh * cval, 0.0
-                                )
-                                if is_self:
-                                    coh = jnp.where(_tri_mask(cap, rc)[None], coh, 0.0)
-                                radial = radial + st * coh
-                            radial = radial * inv_r
-                            lap = c_visc * qs
-                            if is_self:
-                                lap = jnp.where(_tri_mask(cap, rc)[None], lap, 0.0)
-                            g = (
-                                (mu * hsl(F_IRHO, b, rc)[:, :, None])
-                                * win(F_IRHO)
-                            ) * lap
-                            m_h = hsl(F_MASS, b, rc)[:, :, None]
-                            m_w = win(F_MASS)
-                            outs = []
-                            if use_xsph:
-                                qp = jnp.maximum(h2 - r2, 0.0)
-                                wk = (c_poly6 * qp) * qp * qp
-                                if is_self:
-                                    wk = jnp.where(_tri_mask(cap, rc)[None], wk, 0.0)
-                                mr_h = m_h * hsl(F_IRHO, b, rc)[:, :, None]
-                                mr_w = m_w * win(F_IRHO)
-                            for k in range(dim):
-                                dv = win(dim + k) - hsl(dim + k, b, rc)[:, :, None]
-                                A = g * dv - radial * d[k]
-                                outs.append(
-                                    (
-                                        jnp.sum(m_w * A, axis=2),
-                                        -jnp.sum(m_h * A, axis=1),
-                                    )
-                                )
-                            if use_xsph:
-                                for k in range(dim):
-                                    dv = (
-                                        win(dim + k)
-                                        - hsl(dim + k, b, rc)[:, :, None]
-                                    )
-                                    X = wk * dv
-                                    outs.append(
-                                        (
-                                            jnp.sum(mr_w * X, axis=2),
-                                            -jnp.sum(mr_h * X, axis=1),
-                                        )
-                                    )
-                            return tuple(x for o in outs for x in o)
-
-                        zero = tuple(
-                            x
+                        h_rc = [[] for _ in range(n_out)]
+                        w_dep = [
+                            jnp.zeros((RGRP, LANE), jnp.float32)
                             for _ in range(n_out)
-                            for x in (
-                                jnp.zeros((rows_blk, RCH), jnp.float32),
-                                jnp.zeros((rows_blk, LANE), jnp.float32),
+                        ]
+                        for rc in range(nrc):
+
+                            def chunk(rc=rc, b=b, a=a, win=win, hsl=hsl):
+                                d = []
+                                r2 = jnp.zeros(
+                                    (RGRP, RCH, LANE), jnp.float32
+                                )
+                                for k in range(dim):
+                                    dk = hsl(k, b, rc)[:, :, None] - win(k)
+                                    d.append(dk)
+                                    r2 = r2 + dk * dk
+                                inv_r = lax.rsqrt(jnp.maximum(r2, tiny))
+                                r = r2 * inv_r
+                                qs = jnp.maximum(h - r, 0.0)
+                                gw = c_spiky * qs * qs
+                                if is_self:
+                                    gw = jnp.where(_tri_mask(cap, rc)[None], gw, 0.0)
+                                p_term = hsl(F_PR2, b, rc)[:, :, None] + win(F_PR2)
+                                radial = p_term * gw
+                                if use_cohesion:
+                                    hr3 = qs * qs * qs
+                                    r3 = r2 * r
+                                    prod = hr3 * r3
+                                    cval = jnp.where(
+                                        r <= 0.5 * h, 2.0 * prod - h6_64, prod
+                                    )
+                                    coh = jnp.where(
+                                        (r > 0.0) & (r < h), c_coh * cval, 0.0
+                                    )
+                                    if is_self:
+                                        coh = jnp.where(_tri_mask(cap, rc)[None], coh, 0.0)
+                                    radial = radial + st * coh
+                                radial = radial * inv_r
+                                lap = c_visc * qs
+                                if is_self:
+                                    lap = jnp.where(_tri_mask(cap, rc)[None], lap, 0.0)
+                                g = (
+                                    (mu * hsl(F_IRHO, b, rc)[:, :, None])
+                                    * win(F_IRHO)
+                                ) * lap
+                                m_h = hsl(F_MASS, b, rc)[:, :, None]
+                                m_w = win(F_MASS)
+                                outs = []
+                                if use_xsph:
+                                    qp = jnp.maximum(h2 - r2, 0.0)
+                                    wk = (c_poly6 * qp) * qp * qp
+                                    if is_self:
+                                        wk = jnp.where(_tri_mask(cap, rc)[None], wk, 0.0)
+                                    mr_h = m_h * hsl(F_IRHO, b, rc)[:, :, None]
+                                    mr_w = m_w * win(F_IRHO)
+                                for k in range(dim):
+                                    dv = win(dim + k) - hsl(dim + k, b, rc)[:, :, None]
+                                    A = g * dv - radial * d[k]
+                                    h_red = (
+                                        jnp.zeros((RGRP, RCH), jnp.float32)
+                                        if ABLATE == "nohome"
+                                        else jnp.sum(m_w * A, axis=2)
+                                    )
+                                    w_red = (
+                                        jnp.zeros((RGRP, LANE), jnp.float32)
+                                        if ABLATE == "nowin"
+                                        else -jnp.sum(m_h * A, axis=1)
+                                    )
+                                    outs.append((h_red, w_red))
+                                if use_xsph:
+                                    for k in range(dim):
+                                        dv = (
+                                            win(dim + k)
+                                            - hsl(dim + k, b, rc)[:, :, None]
+                                        )
+                                        X = wk * dv
+                                        outs.append(
+                                            (
+                                                jnp.sum(mr_w * X, axis=2),
+                                                -jnp.sum(mr_h * X, axis=1),
+                                            )
+                                        )
+                                return tuple(x for o in outs for x in o)
+
+                            zero = tuple(
+                                x
+                                for _ in range(n_out)
+                                for x in (
+                                    jnp.zeros((RGRP, RCH), jnp.float32),
+                                    jnp.zeros((RGRP, LANE), jnp.float32),
+                                )
                             )
-                        )
-                        if NOCOND:
-                            res = chunk()
-                        else:
-                            res = lax.cond(rc < n_chunks, chunk, lambda: zero)
+                            if NOCOND:
+                                res = chunk()
+                            else:
+                                res = lax.cond(
+                                    rc < n_chunks, chunk, lambda: zero
+                                )
+                            for j in range(n_out):
+                                h_rc[j].append(res[2 * j])
+                                w_dep[j] = w_dep[j] + res[2 * j + 1]
                         for j in range(n_out):
-                            h_rc[j].append(res[2 * j])
-                            w_dep[j] = w_dep[j] + res[2 * j + 1]
+                            h_rg[j].append(
+                                jnp.concatenate(h_rc[j], axis=1)
+                            )
+                            w_rg[j].append(w_dep[j])
                     cls_h.append(
-                        [jnp.concatenate(h_rc[j], axis=1) for j in range(n_out)]
+                        [
+                            jnp.concatenate(h_rg[j], axis=0)
+                            for j in range(n_out)
+                        ]
                     )
                     for j in range(n_out):
                         wout_ref[s * n_out + j] = _deposit(
-                            w_dep[j], a, wout_ref[s * n_out + j], roff, rows_blk
+                            jnp.concatenate(w_rg[j], axis=0),
+                            a,
+                            wout_ref[s * n_out + j],
+                            roff,
+                            rows_blk,
                         )
                 for j in range(n_out):
                     hout_ref[j] = hout_ref[j] + jnp.concatenate(

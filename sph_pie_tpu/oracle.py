@@ -67,6 +67,7 @@ class OracleSim:
         self.mass = np.array(mass, dtype)
         self.dtype = dtype
         self.obstacles = obstacles  # scenes.obstacles.Obstacles or None
+        self.t = 0.0  # sim time (drives moving obstacles)
 
     def step(self):
         dim, h = self.dim, self.h
@@ -124,27 +125,51 @@ class OracleSim:
         self.vel = v * scale
         self.pos = pos + self.dt * (self.vel + self.xsph_eps * xsph)
         self.density, self.pressure = rho, prs
+        self.t += float(self.dt)
 
     def _obstacle_accel(self, pos, vel):
-        """NumPy mirror of scenes.obstacles.accel."""
+        """NumPy mirror of scenes.obstacles.accel (incl. motion model and
+        per-obstacle relative-velocity damping)."""
         ob = self.obstacles
+        t = getattr(self, "t", 0.0)
         acc = np.zeros_like(pos)
-        max_pen = np.zeros(pos.shape[0], self.dtype)
+
+        def offsets(lin, amp, freq, phase):
+            ang = 2.0 * np.pi * freq * t + phase
+            off = lin * t + amp * np.sin(ang)[:, None]
+            v = lin + amp * (2.0 * np.pi * freq * np.cos(ang))[:, None]
+            return off.astype(self.dtype), v.astype(self.dtype)
+
         sc = np.asarray(ob.sphere_center, self.dtype)
         if sc.shape[0]:
+            off, vob = offsets(
+                np.asarray(ob.sphere_lin, self.dtype),
+                np.asarray(ob.sphere_amp, self.dtype),
+                np.asarray(ob.sphere_freq, self.dtype),
+                np.asarray(ob.sphere_phase, self.dtype),
+            )
             sr = np.asarray(ob.sphere_radius, self.dtype)
-            d = pos[:, None, :] - sc[None, :, :]
+            d = pos[:, None, :] - (sc + off)[None, :, :]
             dist = np.sqrt(np.maximum((d * d).sum(-1), 1e-12))
             pen = np.maximum(sr[None, :] - dist, 0.0)
             nrm = d / dist[..., None]
             acc += float(ob.stiffness) * (pen[..., None] * nrm).sum(1)
-            max_pen = np.maximum(max_pen, pen.max(1))
+            ramp = np.minimum(pen / float(ob.ramp_dist), 1.0)
+            rel = vel[:, None, :] - vob[None, :, :]
+            acc -= float(ob.damping) * (ramp[..., None] * rel).sum(1)
         bl = np.asarray(ob.box_lo, self.dtype)
         if bl.shape[0]:
-            bh = np.asarray(ob.box_hi, self.dtype)
+            off, vob = offsets(
+                np.asarray(ob.box_lin, self.dtype),
+                np.asarray(ob.box_amp, self.dtype),
+                np.asarray(ob.box_freq, self.dtype),
+                np.asarray(ob.box_phase, self.dtype),
+            )
+            bh = np.asarray(ob.box_hi, self.dtype) + off
+            blo = bl + off
             p = pos[:, None, :]
-            inside = ((p > bl[None]) & (p < bh[None])).all(-1)
-            d_lo = p - bl[None]
+            inside = ((p > blo[None]) & (p < bh[None])).all(-1)
+            d_lo = p - blo[None]
             d_hi = bh[None] - p
             d_face = np.minimum(d_lo, d_hi)
             min_ax = np.argmin(d_face, -1)
@@ -158,9 +183,9 @@ class OracleSim:
             push = sign[..., None] * np.eye(pos.shape[-1], dtype=self.dtype)[min_ax]
             w = np.where(inside, pen, 0.0)
             acc += float(ob.stiffness) * (w[..., None] * push).sum(1)
-            max_pen = np.maximum(max_pen, w.max(1))
-        ramp = np.minimum(max_pen / float(ob.ramp_dist), 1.0)
-        acc -= float(ob.damping) * ramp[:, None] * vel
+            ramp = np.minimum(w / float(ob.ramp_dist), 1.0)
+            rel = vel[:, None, :] - vob[None, :, :]
+            acc -= float(ob.damping) * (ramp[..., None] * rel).sum(1)
         return acc
 
     def run(self, n_steps: int):
@@ -179,3 +204,140 @@ def oracle_from_scene(scene, dtype=np.float64) -> OracleSim:
         np.asarray(scene.state.mass)[act],
         dtype=dtype,
     )
+
+
+class PbfOracle:
+    """Brute-force O(N^2) mirror of solvers/pbf.step (see that docstring
+    for the skin-budget scheme; here there is no cell list so only the
+    projection clamp and update order must match).
+
+    Mirrors, in order: predict (gravity + walls + obstacles, speed clamp),
+    ``iters`` Jacobi projections (unclamped constraint C = rho/rho0 - 1,
+    CFM denominator, s_corr artificial pressure, ``sor`` under-relaxation,
+    per-projection cap ``proj_cap``, clip to bounds), velocity from
+    (x - x0)/dt with speed clamp, final density, optional XSPH."""
+
+    def __init__(self, params, pbf_params, pos, vel, mass, proj_cap,
+                 dtype=np.float64):
+        f = lambda v: np.asarray(v, dtype)
+        self.dim = int(params.dim)
+        self.h = float(params.h)
+        self.dt = float(params.dt)
+        self.rho0 = float(params.rest_density)
+        self.gravity = f(params.gravity)
+        self.bmin = f(params.bound_min)
+        self.bmax = f(params.bound_max)
+        self.bk = float(params.boundary_stiffness)
+        self.bc = float(params.boundary_damping)
+        self.vcap = float(params.max_speed)
+        self.xsph_eps = float(params.xsph_eps)
+        self.use_xsph = bool(params.use_xsph)
+        self.iters = int(pbf_params.iters)
+        self.sor = float(pbf_params.sor)
+        self.relax_eps = float(pbf_params.relax_eps)
+        self.s_corr_k = float(pbf_params.s_corr_k)
+        self.s_corr_n = float(pbf_params.s_corr_n)
+        self.s_corr_dq = float(pbf_params.s_corr_dq)
+        self.proj_cap = float(proj_cap)
+        self.pos = np.array(pos, dtype)
+        self.vel = np.array(vel, dtype)
+        self.mass = np.array(mass, dtype)
+        self.dtype = dtype
+
+    def _poly6(self, r2):
+        h = self.h
+        c = (
+            4.0 / (np.pi * h**8)
+            if self.dim == 2
+            else 315.0 / (64.0 * np.pi * h**9)
+        )
+        q = np.maximum(h * h - r2, 0.0)
+        return c * q * q * q
+
+    def _spiky_grad(self, d, r):
+        h = self.h
+        c = -30.0 / (np.pi * h**5) if self.dim == 2 else -45.0 / (np.pi * h**6)
+        q = np.maximum(h - r, 0.0)
+        return (c * q * q / r)[..., None] * d
+
+    def _pairs(self, x):
+        d = x[:, None, :] - x[None, :, :]
+        r2 = (d * d).sum(-1)
+        np.fill_diagonal(r2, np.inf)  # self handled separately
+        return d, r2
+
+    def _lambda(self, x):
+        tiny = 1e-12
+        d, r2 = self._pairs(x)
+        r = np.sqrt(np.maximum(r2, tiny))
+        live = r2 < self.h * self.h
+        m = np.where(live, self.mass[None, :], 0.0)
+        rho = (self.mass[None, :] * self._poly6(np.where(live, r2, np.inf))).sum(1)
+        rho = rho + self.mass * self._poly6(0.0)  # self term
+        grad = np.where(live[..., None], self._spiky_grad(d, r), 0.0)
+        g = m[..., None] * grad / self.rho0
+        grad_sum = g.sum(1)
+        grad_sq = (g * g).sum(-1).sum(1)
+        denom = grad_sq + (grad_sum * grad_sum).sum(-1)
+        c = rho / self.rho0 - 1.0
+        lam = -c / (denom + self.relax_eps)
+        return lam, rho
+
+    def _dx(self, x, lam):
+        tiny = 1e-12
+        d, r2 = self._pairs(x)
+        r = np.sqrt(np.maximum(r2, tiny))
+        live = r2 < self.h * self.h
+        m = np.where(live, self.mass[None, :], 0.0)
+        wk = self._poly6(np.where(live, r2, np.inf))
+        w_dq = self._poly6((self.s_corr_dq * self.h) ** 2)
+        s_corr = -(self.s_corr_k * self.h * self.h) * (wk / w_dq) ** self.s_corr_n
+        lam_sum = lam[:, None] + lam[None, :] + s_corr
+        grad = np.where(live[..., None], self._spiky_grad(d, r), 0.0)
+        return (m[..., None] * lam_sum[..., None] * grad).sum(1) / self.rho0
+
+    def step(self):
+        # predict
+        acc = np.zeros_like(self.pos) + self.gravity
+        pen_lo = np.maximum(self.bmin - self.pos, 0.0)
+        pen_hi = np.maximum(self.pos - self.bmax, 0.0)
+        pen = np.max(pen_lo + pen_hi, axis=-1, keepdims=True)
+        ramp = np.minimum(pen / (0.1 * self.h), 1.0)
+        acc += self.bk * (pen_lo - pen_hi) - self.bc * ramp * self.vel
+        v = self.vel + self.dt * acc
+        sp2 = (v * v).sum(-1, keepdims=True)
+        v = v * np.where(sp2 > self.vcap**2, self.vcap / np.sqrt(sp2), 1.0)
+        pos0 = self.pos
+        x = self.pos + self.dt * v
+
+        for _ in range(self.iters):
+            lam, _ = self._lambda(x)
+            dx = self.sor * self._dx(x, lam)
+            n2 = (dx * dx).sum(-1, keepdims=True)
+            n = np.sqrt(np.maximum(n2, 1e-30))
+            dx = dx * np.minimum(1.0, self.proj_cap / n)
+            x = np.clip(x + dx, self.bmin, self.bmax)
+
+        v = (x - pos0) / self.dt
+        sp2 = (v * v).sum(-1, keepdims=True)
+        v = v * np.where(sp2 > self.vcap**2, self.vcap / np.sqrt(sp2), 1.0)
+        _, rho = self._lambda(x)
+        rho = np.maximum(rho, 1e-6 * self.rho0)
+
+        if self.use_xsph:
+            d, r2 = self._pairs(x)
+            live = r2 < self.h * self.h
+            m = np.where(live, self.mass[None, :], 0.0)
+            wk = self._poly6(np.where(live, r2, np.inf))
+            xw = 2.0 * m / (rho[:, None] + rho[None, :]) * wk
+            dv = v[None, :, :] - v[:, None, :]
+            v = v + self.xsph_eps * (xw[..., None] * dv).sum(1)
+            sp2 = (v * v).sum(-1, keepdims=True)
+            v = v * np.where(sp2 > self.vcap**2, self.vcap / np.sqrt(sp2), 1.0)
+
+        self.pos, self.vel, self.density = x, v, rho
+
+    def run(self, n_steps: int):
+        for _ in range(n_steps):
+            self.step()
+        return self.pos

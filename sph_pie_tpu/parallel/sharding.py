@@ -74,7 +74,7 @@ def sharded_step(mesh: Mesh, params: FluidParams, grid: nb.BinnedGrid, axis: str
     # The symmetric fold's window write-back (scan-carried
     # dynamic_update_slice across shard boundaries) does not partition
     # well under GSPMD; sharded paths keep the one-sided fold.
-    grid = dataclasses.replace(grid, symmetric_fold=False)
+    grid = dataclasses.replace(grid, symmetric_fold=False, pair_kernel="fold")
     slot = slot_sharding(mesh, axis)
     rep = replicated(mesh)
 
@@ -100,7 +100,7 @@ def sharded_simulate(mesh: Mesh, params, grid, axis: str = SPATIAL_AXIS):
     """n-step roll with pinned shardings (fori_loop keeps layout stable)."""
     import dataclasses
 
-    grid = dataclasses.replace(grid, symmetric_fold=False)
+    grid = dataclasses.replace(grid, symmetric_fold=False, pair_kernel="fold")
     slot = slot_sharding(mesh, axis)
     rep = replicated(mesh)
 

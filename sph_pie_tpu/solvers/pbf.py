@@ -308,7 +308,7 @@ def step(
     if obstacles is not None:
         from sph_pie_tpu.scenes import obstacles as obs_lib
 
-        acc = acc + obs_lib.accel(obstacles, b.pos, b.vel)
+        acc = acc + obs_lib.accel(obstacles, b.pos, b.vel, b.sim_time)
     vel = jnp.where(valid, b.vel + params.dt * acc, 0.0)
     vel = clamp_speed(params, vel)
     x_star = jnp.where(valid, b.pos + params.dt * vel, b.pos)
@@ -378,7 +378,9 @@ def step(
         )
         new_vel = jnp.where(valid, clamp_speed(params, new_vel), 0.0)
 
-    return replace(b, vel=new_vel, density=rho)
+    return replace(
+        b, vel=new_vel, density=rho, sim_time=b.sim_time + params.dt
+    )
 
 
 @partial(jax.jit, static_argnames=("grid",))

@@ -98,7 +98,7 @@ def _pair_accel(params: FluidParams, state: ParticleState):
     return pair, (zero, zero)
 
 
-def boundary_accel(params: FluidParams, pos, vel):
+def boundary_accel(params: FluidParams, pos, vel, wall_axes=None):
     """Penalty spring-damper against the domain AABB walls.
 
     The damping ramps in linearly over the first 0.1h of penetration: a
@@ -108,9 +108,16 @@ def boundary_accel(params: FluidParams, pos, vel):
     trajectory jump between bit-equivalent engines. A continuous ramp keeps
     cross-implementation parity at rounding level (and is better contact
     physics).
+
+    ``wall_axes``: optional per-SPATIAL-axis bool mask; False disables the
+    wall on that axis (periodic axes have no walls).
     """
     pen_lo = jnp.maximum(params.bound_min - pos, 0.0)
     pen_hi = jnp.maximum(pos - params.bound_max, 0.0)
+    if wall_axes is not None and not all(wall_axes):
+        m = jnp.asarray(wall_axes, pos.dtype)[None, :]
+        pen_lo = pen_lo * m
+        pen_hi = pen_hi * m
     pen = jnp.max(pen_lo + pen_hi, axis=-1, keepdims=True)
     ramp = jnp.minimum(pen / (0.1 * params.h), 1.0)
     acc = params.boundary_stiffness * (pen_lo - pen_hi)
@@ -138,6 +145,7 @@ def step(
     gspec: nbr.GridSpec,
     state: ParticleState,
     obstacles=None,
+    t=0.0,
 ) -> ParticleState:
     """One WCSPH step: build cells -> density -> EOS -> forces -> integrate."""
     cl = nbr.build(gspec, state.pos, state.active)
@@ -154,7 +162,7 @@ def step(
     if obstacles is not None:
         from sph_pie_tpu.scenes import obstacles as obs_lib
 
-        acc = acc + obs_lib.accel(obstacles, state.pos, state.vel)
+        acc = acc + obs_lib.accel(obstacles, state.pos, state.vel, t)
 
     active = state.active[:, None]
     vel = jnp.where(active, state.vel + params.dt * acc, state.vel)

@@ -340,6 +340,8 @@ def step(
 ) -> nb.BinnedState:
     """One WCSPH step in binned space, with conditional amortised rebin."""
     b = maybe_rebin(grid, b)
+    if any(grid.periodic):
+        b = nb.wrap_ghosts(grid, b)
 
     rho = _density(params, grid, b)
     prs = eos.tait_pressure(params, rho)
@@ -347,11 +349,18 @@ def step(
 
     acc, xsph = _forces(params, grid, b)
     acc = acc + params.gravity
-    acc = acc + boundary_accel(params, b.pos, b.vel)
+    if any(grid.periodic):
+        order = grid.axis_order or tuple(range(grid.dim))
+        wall_axes = tuple(
+            not grid.periodic[order.index(sa)] for sa in range(grid.dim)
+        )
+    else:
+        wall_axes = None
+    acc = acc + boundary_accel(params, b.pos, b.vel, wall_axes)
     if obstacles is not None:
         from sph_pie_tpu.scenes import obstacles as obs_lib
 
-        acc = acc + obs_lib.accel(obstacles, b.pos, b.vel)
+        acc = acc + obs_lib.accel(obstacles, b.pos, b.vel, b.sim_time)
 
     move = (b.valid & ~nb.frozen_mask(grid, b))[:, None]
     vel = jnp.where(move, b.vel + params.dt * acc, 0.0)
@@ -364,7 +373,13 @@ def step(
     step_disp = params.dt * jnp.sqrt(
         jnp.maximum(jnp.max(jnp.sum(vel_adv * vel_adv, axis=-1)), 0.0)
     )
-    return replace(b, pos=pos, vel=vel, travel=b.travel + step_disp)
+    return replace(
+        b,
+        pos=pos,
+        vel=vel,
+        travel=b.travel + step_disp,
+        sim_time=b.sim_time + params.dt,
+    )
 
 
 @partial(jax.jit, static_argnames=("grid",))

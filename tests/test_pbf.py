@@ -118,3 +118,35 @@ def test_pbf_vorticity_confinement():
     norm = np.linalg.norm(f, axis=-1) * np.linalg.norm(omega[valid], axis=-1)
     mask = norm > 1e-10
     assert (dot[mask] / norm[mask] < 1e-4).all()
+
+
+def test_pbf_matches_bruteforce_oracle_f64():
+    """Binned PBF == O(N^2) PbfOracle in f64 (cell list exactness + update
+    order; only summation-order noise should remain)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sph_pie_tpu.oracle import PbfOracle
+
+    with jax.enable_x64():
+        scene = builders.dam_break_2d(n_target=300, dtype=jnp.float64)
+        g = scene.bgrid
+        pp = pbf.make_pbf_params(iters=3, dtype=jnp.float64)
+        b = scene.binned_state()
+        steps = 40
+        b = pbf.simulate(scene.params, g, pp, b, steps)
+        st = nb.unbin(g, b, scene.state.capacity)
+        got = np.asarray(st.pos)[np.asarray(st.active)]
+
+        act = np.asarray(scene.state.active)
+        oracle = PbfOracle(
+            scene.params,
+            pp,
+            np.asarray(scene.state.pos)[act],
+            np.asarray(scene.state.vel)[act],
+            np.asarray(scene.state.mass)[act],
+            proj_cap=0.5 * g.skin,
+        )
+        want = oracle.run(steps)
+        err = np.abs(got - want).max()
+        assert err < 1e-6, f"PBF binned vs oracle drift: {err}"
