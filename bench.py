@@ -63,6 +63,7 @@ def _measure(scene, warm_steps: int, steps: int):
         "particle_steps_per_sec": n * steps / wall,
         "steps_per_sec": steps / wall,
         "overflow": int(b.overflow),
+        "rebins": int(__import__("numpy").asarray(b.n_rebins)),
     }
 
 
