@@ -145,6 +145,7 @@ def block_scene(
     cap: int | None = None,
     skin_frac: float = 0.25,
     wall_layers: int = 0,
+    build_state: bool = True,
     dtype=jnp.float32,
     **param_overrides,
 ) -> Scene:
@@ -188,8 +189,24 @@ def block_scene(
     headroom = 4.5 if dim == 2 else 2.0
     bcap = max(8, (int(math.ceil(headroom * rest_occ)) + 7) // 8 * 8)
     tier = 0 if dim == 2 else max(8, (int(math.ceil(1.5 * rest_occ)) + 7) // 8 * 8)
-    pos = lattice_block(fluid_lo, fluid_hi, dx)
-    st = state_lib.from_positions(pos, capacity=capacity, mass=mass, dtype=dtype)
+    if build_state:
+        pos = lattice_block(fluid_lo, fluid_hi, dx)
+        st = state_lib.from_positions(
+            pos, capacity=capacity, mass=mass, dtype=dtype
+        )
+    else:
+        # Shape-only mode (memory budgeting at 16M+): static grid math
+        # without materialising the particle lattice. The capacity math
+        # must match the built path, so count lattice sites analytically.
+        import numpy as np_
+
+        # mirror lattice_block: sites at lo + dx/2, lo + 3dx/2, ... < hi
+        counts = [
+            len(np_.arange(lo_ + 0.5 * dx, hi_, dx))
+            for lo_, hi_ in zip(fluid_lo, fluid_hi)
+        ]
+        n_sites = int(np_.prod(counts))
+        st = state_lib.allocate(capacity or n_sites, dim, dtype)
     boundary = None
     n_boundary = 0
     if wall_layers > 0:

@@ -1,6 +1,7 @@
 """PBF solver: incompressibility + stability invariants."""
 
 import numpy as np
+import pytest
 
 from sph_pie_tpu.neighbors import binned as nb
 from sph_pie_tpu.scenes import builders
@@ -31,6 +32,7 @@ def test_pbf_settles_incompressible():
     assert (pos <= np.asarray(scene.params.bound_max) + 1e-6).all()
 
 
+@pytest.mark.slow
 def test_pbf_column_collapses():
     """The dam column must actually flow (x spread grows) — i.e. the solver
     isn't frozen by the constraint projection.
