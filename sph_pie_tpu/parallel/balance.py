@@ -191,6 +191,7 @@ class BalancedState:
     fields: dict  # name -> [n_dev, c_cap*cap, ...]
     starts: np.ndarray
     travel: jax.Array
+    sim_time: jax.Array = 0.0  # drives moving obstacles
 
 
 def make_balanced_step(mesh: Mesh, params, grid: nb.BinnedGrid, c_cap: int, obstacles=None):
@@ -217,9 +218,14 @@ def make_balanced_step(mesh: Mesh, params, grid: nb.BinnedGrid, c_cap: int, obst
             k: distribute(grid, getattr(b, k), starts, c_cap)
             for k in FIELD_NAMES
         }
-        return BalancedState(fields=fields, starts=np.asarray(starts), travel=b.travel)
+        return BalancedState(
+            fields=fields,
+            starts=np.asarray(starts),
+            travel=b.travel,
+            sim_time=b.sim_time,
+        )
 
-    def local(pos, vel, mass, valid, n_rows, travel):
+    def local(pos, vel, mass, valid, n_rows, travel, sim_time):
         pos, vel, mass, valid = pos[0], vel[0], mass[0], valid[0]
         n_rows = n_rows[0]
         v = wcsph_binned_local_view(pos, vel, mass)
@@ -261,7 +267,7 @@ def make_balanced_step(mesh: Mesh, params, grid: nb.BinnedGrid, c_cap: int, obst
 
         acc = acc + params.gravity + boundary_accel(params, pos, vel)
         if obstacles is not None:
-            acc = acc + obs_lib.accel(obstacles, pos, vel)
+            acc = acc + obs_lib.accel(obstacles, pos, vel, sim_time)
 
         vmask = valid[:, None]
         new_vel = jnp.where(vmask, vel + params.dt * acc, 0.0)
@@ -277,7 +283,7 @@ def make_balanced_step(mesh: Mesh, params, grid: nb.BinnedGrid, c_cap: int, obst
     sharded = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
     )
     sharded = jax.jit(sharded)
@@ -294,16 +300,22 @@ def make_balanced_step(mesh: Mesh, params, grid: nb.BinnedGrid, c_cap: int, obst
             bs.fields["valid"],
             n_rows,
             bs.travel,
+            bs.sim_time,
         )
         fields = dict(bs.fields, pos=pos, vel=vel, density=rho, pressure=prs)
-        return BalancedState(fields=fields, starts=bs.starts, travel=travel)
+        return BalancedState(
+            fields=fields,
+            starts=bs.starts,
+            travel=travel,
+            sim_time=bs.sim_time + params.dt,
+        )
 
     def finish_fn(bs: BalancedState, b: nb.BinnedState) -> nb.BinnedState:
         out = {}
         for k in ("pos", "vel", "density", "pressure"):
             if k in bs.fields:
                 out[k] = collect(grid, bs.fields[k], bs.starts)
-        return replace(b, travel=bs.travel, **out)
+        return replace(b, travel=bs.travel, sim_time=bs.sim_time, **out)
 
     return init_fn, step_fn, finish_fn
 

@@ -87,7 +87,7 @@ def make_halo_step(mesh: Mesh, params, grid: nb.BinnedGrid, obstacles=None):
         raise ValueError("shard thinner than its halo; use fewer devices")
     from sph_pie_tpu.scenes import obstacles as obs_lib
 
-    def local(pos, vel, mass, valid, travel):
+    def local(pos, vel, mass, valid, travel, sim_time):
         dim = pos.shape[1]
         v = _LocalView(pos=pos, vel=vel, mass=mass)
 
@@ -117,7 +117,7 @@ def make_halo_step(mesh: Mesh, params, grid: nb.BinnedGrid, obstacles=None):
 
         acc = acc + params.gravity + boundary_accel(params, pos, vel)
         if obstacles is not None:
-            acc = acc + obs_lib.accel(obstacles, pos, vel)
+            acc = acc + obs_lib.accel(obstacles, pos, vel, sim_time)
 
         vmask = valid[:, None]
         new_vel = jnp.where(vmask, vel + params.dt * acc, 0.0)
@@ -133,7 +133,7 @@ def make_halo_step(mesh: Mesh, params, grid: nb.BinnedGrid, obstacles=None):
     sharded_local = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(axis), P(axis), P(axis), P(axis), P()),
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(), P()),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P()),
     )
 
@@ -145,10 +145,16 @@ def make_halo_step(mesh: Mesh, params, grid: nb.BinnedGrid, obstacles=None):
             b,
         )
         pos, vel, rho, prs, travel = sharded_local(
-            b.pos, b.vel, b.mass, b.valid, b.travel
+            b.pos, b.vel, b.mass, b.valid, b.travel, b.sim_time
         )
         return replace(
-            b, pos=pos, vel=vel, density=rho, pressure=prs, travel=travel
+            b,
+            pos=pos,
+            vel=vel,
+            density=rho,
+            pressure=prs,
+            travel=travel,
+            sim_time=b.sim_time + params.dt,
         )
 
     slot = NamedSharding(mesh, P(axis))

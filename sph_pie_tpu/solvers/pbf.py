@@ -296,6 +296,24 @@ def step(
         0.5; a pure safety net for the skin bookkeeping below).
     """
     b = maybe_rebin(grid, b)
+    periodic = any(grid.periodic)
+    if periodic:
+        b = nb.wrap_ghosts(grid, b)
+        order = grid.axis_order or tuple(range(grid.dim))
+        wall_axes = tuple(
+            not grid.periodic[order.index(sa)] for sa in range(grid.dim)
+        )
+        wall_mask = jnp.asarray(wall_axes, b.pos.dtype)[None, :]
+    else:
+        wall_axes = None
+
+    def clip_box(x):
+        """Project into the AABB on WALL axes only (periodic axes drift
+        freely; the bin-time fold wraps them)."""
+        c = jnp.clip(x, params.bound_min, params.bound_max)
+        if periodic:
+            return jnp.where(wall_mask > 0, c, x)
+        return c
 
     def fmask(bb):
         return (bb.valid & ~nb.frozen_mask(grid, bb))[:, None]
@@ -304,7 +322,7 @@ def step(
 
     # Predict
     acc = jnp.zeros_like(b.pos) + params.gravity
-    acc = acc + boundary_accel(params, b.pos, b.vel)
+    acc = acc + boundary_accel(params, b.pos, b.vel, wall_axes)
     if obstacles is not None:
         from sph_pie_tpu.scenes import obstacles as obs_lib
 
@@ -329,6 +347,8 @@ def step(
 
     def iter_body(_, bb):
         bb = maybe_rebin(grid, bb)
+        if periodic:
+            bb = nb.wrap_ghosts(grid, bb)
         v = fmask(bb)
         fields = {**_planar("p", bb.pos), "mass": bb.mass}
         lam, _ = _lambda_fold(params, pbf, grid, fields)
@@ -337,7 +357,7 @@ def step(
         n2 = jnp.sum(dx * dx, axis=-1, keepdims=True)
         n = jnp.sqrt(jnp.maximum(n2, 1e-30))
         dx = jnp.where(v, dx * jnp.minimum(1.0, proj_cap / n), 0.0)
-        x = jnp.clip(bb.pos + dx, params.bound_min, params.bound_max)
+        x = clip_box(bb.pos + dx)
         return replace(
             bb,
             pos=jnp.where(v, x, bb.pos),
@@ -346,6 +366,8 @@ def step(
 
     b = lax.fori_loop(0, pbf.iters, iter_body, b)
     b = maybe_rebin(grid, b)
+    if periodic:
+        b = nb.wrap_ghosts(grid, b)
     valid = fmask(b)
     x_star = b.pos
     pos0 = b.vel  # step-start positions stashed above

@@ -67,3 +67,28 @@ def test_halo_run_with_rebin_preserves_particles():
     act = np.asarray(st.active)
     assert act.sum() == int(scene.state.n_active())
     assert np.isfinite(np.asarray(st.pos)[act]).all()
+
+
+def test_halo_step_moving_obstacle_matches_single_device():
+    """sim_time threads through the shard_map: a MOVING obstacle gives the
+    same trajectory on the 8-device halo path as single-device."""
+    from sph_pie_tpu.scenes import obstacles as obs_lib
+
+    scene = _scene8()
+    mesh = sharding.make_mesh(8)
+    obs = obs_lib.make(
+        2,
+        spheres=[([0.3, 0.2], 0.07)],
+        sphere_motions=[([0.0, 0.0], [0.05, 0.0], 10.0, 0.0)],
+    )
+    step, _ = halo.make_halo_step(mesh, scene.params, scene.bgrid, obstacles=obs)
+
+    b_ref = scene.binned_state()
+    b_halo = sharding.shard_binned(mesh, scene.bgrid, scene.binned_state())
+    for _ in range(10):
+        b_ref = wcsph_binned.step(scene.params, scene.bgrid, b_ref, obs)
+        b_halo = jax.jit(step)(b_halo)
+    assert float(b_halo.sim_time) > 0
+    np.testing.assert_allclose(
+        np.asarray(b_halo.pos), np.asarray(b_ref.pos), rtol=0, atol=1e-6
+    )
