@@ -93,16 +93,14 @@ class BinnedGrid:
                                # cells) at ~zero cost: window lanes cover
                                # the full cap either way (3*cap <= 128 is
                                # one VPU lane tile), only home rows pay.
-    pair_kernel: str = "fold"  # "fold" = XLA slab fold; "sym" = symmetric
-                               # Pallas kernels (neighbors/pallas_sym);
-                               # "auto" = sym on TPU when eligible
-                               # (cap == 32, single device, no halo).
-                               # Default stays "fold": measured on v5e at
-                               # 100k the sym kernels are bit-equivalent
-                               # but density is only 1.02x and forces
-                               # 0.57x of the fold (Mosaic per-op
-                               # inefficiency on the chunked tiles, under
-                               # investigation in ROADMAP).
+    pair_kernel: str = "auto"  # "fold" = XLA slab fold; "sym" = symmetric
+                               # Pallas kernels (neighbors/pallas_sym)
+                               # for BOTH phases; "auto" (default) = sym
+                               # DENSITY on the TPU backend for grids
+                               # >= 20k cells (measured 1.39x at 1M,
+                               # 1.17x at 100k on v5e), fold elsewhere —
+                               # forces stays on the fold (Pallas forces
+                               # measured 0.75x even at 1M; ROADMAP).
     periodic: tuple[bool, ...] = ()  # per GRID axis (axis_order space):
                                # True = wrap. Periodic axes fill their
                                # ghost-border cells each step with images

@@ -53,11 +53,22 @@ def _r2(dim, home, w):
     return d, r2
 
 
-def _use_pallas_sym(grid: nb.BinnedGrid, halo, local_cells) -> bool:
-    """Route the pair phases through the symmetric Pallas kernels when the
-    grid is eligible. "auto" engages on the TPU backend only — CPU (tests,
-    oracles) keeps the XLA fold, whose results the Pallas kernels are
-    equivalence-tested against (tests/test_pallas_sym.py)."""
+def _use_pallas_sym(
+    grid: nb.BinnedGrid, halo, local_cells, phase: str
+) -> bool:
+    """Route a pair phase through the symmetric Pallas kernels when the
+    grid is eligible. "sym" forces both phases; "auto" engages on the TPU
+    backend only — CPU (tests, oracles) keeps the XLA fold, whose results
+    the Pallas kernels are equivalence-tested against
+    (tests/test_pallas_sym.py) — and only where measured to win:
+
+      * density at >= 20k cells: the kernel's per-slab DMA spans beat the
+        fold's full-reach window slices once windows get big (measured
+        v5e 1M: 26.6 vs 37.0 ms = 1.39x; 100k: 1.17x; small 2D grids are
+        a wash and not worth the Mosaic compile).
+      * forces: NOT routed on "auto" — Mosaic's pair-op throughput keeps
+        it at 0.75x the fold even at 1M (ROADMAP, measured exhaustively).
+    """
     if halo is not None or local_cells is not None or grid.cap != 32:
         return False
     if grid.pair_kernel == "sym":
@@ -65,7 +76,9 @@ def _use_pallas_sym(grid: nb.BinnedGrid, halo, local_cells) -> bool:
     if grid.pair_kernel == "auto":
         import jax
 
-        return jax.default_backend() in ("tpu", "axon")
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False
+        return phase == "density" and grid.num_cells >= 20_000
     return False
 
 
@@ -81,7 +94,7 @@ def _density(
     ``b`` needs .pos/.mass flat arrays; with halo/local_cells the fold runs
     on a device-local slab (parallel/halo.py)."""
     dim, h = params.dim, params.h
-    if _use_pallas_sym(grid, halo, local_cells):
+    if _use_pallas_sym(grid, halo, local_cells, "density"):
         from sph_pie_tpu.neighbors import pallas_sym
 
         return pallas_sym.density_sym(params, grid, b)
@@ -213,7 +226,7 @@ def _forces(
     local_cells: int | None = None,
 ):
     """Pressure + viscosity + cohesion accel and XSPH sum over home slots."""
-    if _use_pallas_sym(grid, halo, local_cells):
+    if _use_pallas_sym(grid, halo, local_cells, "forces"):
         from sph_pie_tpu.neighbors import pallas_sym
 
         return pallas_sym.forces_sym(params, grid, b)
