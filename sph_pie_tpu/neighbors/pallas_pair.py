@@ -284,6 +284,10 @@ def density_pallas(params, grid: nb.BinnedGrid, b, interpret: bool = False):
     cols = [b.pos[:, k] for k in range(grid.dim)] + [b.mass]
     packed = _pack_rows(grid, plan, cols)
     rho = fn(packed, block_flags(grid, b.mass))[0].astype(b.mass.dtype)
+    # Empty slots sit at pos 0 and pick up spurious density from real
+    # particles near bound_min; mask before the floor, matching the fold
+    # and density_sym this kernel is a drop-in for.
+    rho = jnp.where(b.valid, rho, 0.0)
     return jnp.maximum(rho, 1e-6 * params.rest_density)
 
 

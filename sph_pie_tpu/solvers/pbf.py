@@ -372,7 +372,25 @@ def step(
     x_star = b.pos
     pos0 = b.vel  # step-start positions stashed above
 
-    new_vel = jnp.where(valid, (x_star - pos0) / params.dt, 0.0)
+    disp = x_star - pos0
+    if periodic:
+        # Minimum-image the displacement: mid-step rebins fold seam-crossing
+        # x_star into the primary box (+-L) while the stashed pos0 payload
+        # stays continuous, so a wrapped particle's raw displacement is off
+        # by ~L — divided by dt that is a huge wrong-way velocity (clamped
+        # to max_speed but still wrong). Folding d by the domain period on
+        # periodic axes recovers the true physical displacement.
+        order = grid.axis_order or tuple(range(grid.dim))
+        lengths = [
+            grid.dims[order.index(sa)] * grid.cell_size
+            if grid.periodic[order.index(sa)]
+            else 0.0
+            for sa in range(grid.dim)
+        ]
+        L = jnp.asarray(lengths, disp.dtype)[None, :]
+        safe_L = jnp.where(L > 0, L, 1.0)
+        disp = jnp.where(L > 0, disp - L * jnp.round(disp / safe_L), disp)
+    new_vel = jnp.where(valid, disp / params.dt, 0.0)
     new_vel = clamp_speed(params, new_vel)
 
     # Final density (diagnostics/rendering + XSPH/vorticity weights)

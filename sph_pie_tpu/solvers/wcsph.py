@@ -181,7 +181,7 @@ def simulate(params, gspec, state, n_steps, obstacles=None) -> ParticleState:
     return lax.fori_loop(
         0,
         jnp.asarray(n_steps, jnp.int32),
-        lambda _, s: step(params, gspec, s, obstacles),
+        lambda i, s: step(params, gspec, s, obstacles, t=i * params.dt),
         state,
     )
 

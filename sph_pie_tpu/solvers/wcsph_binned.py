@@ -313,23 +313,21 @@ def _forces(
     return jnp.stack(acc, axis=-1), jnp.stack(xsph, axis=-1)
 
 
-def maybe_rebin(
-    grid: nb.BinnedGrid, b: nb.BinnedState, threshold: float | None = None
-) -> nb.BinnedState:
+def maybe_rebin(grid: nb.BinnedGrid, b: nb.BinnedState) -> nb.BinnedState:
     """Two-stage lazy rebin trigger.
 
     ``travel`` (sum of per-step max displacement bounds) is cheap but very
     conservative in oscillatory flow. When it trips, measure the TRUE max
     displacement against the bin-time anchor (``bin_pos``, one O(S) pass,
     ~6 ms at 1M on v5e): rebin only if a particle actually drifted past
-    ``threshold``, otherwise tighten ``travel`` to the measured bound. The
+    skin/2, otherwise tighten ``travel`` to the measured bound. The
     cell-list exactness guarantee needs (drift at fold time) <= skin/2;
-    WCSPH folds once right after this check, so the default threshold is
-    skin/2. Solvers that keep moving particles between folds within one
-    step (PBF's constraint iterations) pass a tighter threshold and clamp
-    their intra-step moves so drift + moves stays <= skin/2.
+    WCSPH folds once right after this check. PBF keeps moving particles
+    between folds within one step, so it instead calls this before EVERY
+    fold and hard-caps each constraint projection at skin/2 (solvers/
+    pbf.py) — the check threshold stays skin/2 there too.
     """
-    thr = 0.5 * grid.skin if threshold is None else threshold
+    thr = 0.5 * grid.skin
 
     def check(x):
         d2 = jnp.sum((x.pos - x.bin_pos) ** 2, axis=-1)

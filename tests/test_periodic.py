@@ -114,3 +114,48 @@ def test_periodic_pbf_drifts_and_wraps():
     assert act.sum() == n
     p = np.asarray(out.pos)[act]
     assert np.isfinite(p).all()
+
+
+def test_periodic_pbf_seam_crossing_velocity_min_image():
+    """Particles wrapping across the periodic seam must keep their true
+    physical velocity, not the rebin-folded (x_star - pos0)/dt that is off
+    by ~L/dt. dt is sized so (a) every step's displacement exceeds skin/2
+    — mid-step rebins fire constantly — and (b) the bulk drift crosses the
+    seam repeatedly during the run. Without the minimum-image correction
+    in pbf.step this saturates the max_speed clamp pointing backwards."""
+    from sph_pie_tpu.solvers import pbf
+
+    params, grid, pos, vel = _periodic_setup(seed=11)
+    n = pos.shape[0]
+    drift = 0.4
+    # Each step moves ~drift*dt = 0.02 > skin/2 = 0.0125 -> rebin fires
+    # every maybe_rebin call; 60 steps drift 1.2 box lengths.
+    params = make_params(
+        dim=2,
+        h=0.1,
+        dt=0.05,
+        bound_min=[0, 0],
+        bound_max=[float(grid.dims[0]) * grid.cell_size] * 2,
+        viscosity=0.05,
+        gravity=[0.0, 0.0],
+    )
+    st = state_lib.from_positions(jnp.asarray(pos), capacity=n, mass=1.0)
+    from sph_pie_tpu.utils.struct import replace as srep
+
+    st = srep(st, vel=jnp.zeros_like(st.vel) + jnp.asarray([drift, 0.0]))
+    pp = pbf.make_pbf_params(iters=3)
+    b = nb.bin_state(grid, st)
+    b = pbf.simulate(params, grid, pp, b, 60)
+    assert int(b.n_rebins) > 10  # the trigger condition actually fired
+    out = nb.unbin(grid, b, n)
+    act = np.asarray(out.active)
+    assert act.sum() == n
+    v = np.asarray(out.vel)[act]
+    assert np.isfinite(v).all()
+    speed = np.sqrt((v**2).sum(-1))
+    # Physical bound: drift + per-step projection noise (iters * proj_cap
+    # / dt = 3*0.0125/0.05 = 0.75). The bug produces ~max_speed (= c0,
+    # default 10*max_speed_est >> 2) on every wrapped particle.
+    assert speed.max() < 2.0, speed.max()
+    # and the bulk keeps moving forward, not bounced backwards
+    assert v[:, 0].mean() > 0.5 * drift
