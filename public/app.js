@@ -24,6 +24,7 @@ const state = {
   metricsOn: new Set(["kinetic_energy_avg", "max_speed"]),
   selMode: "range",
   pickedRuns: new Set(),
+  currentRunId: null,
   calMonth: null, // Date of first of month
   calendarEvents: [],
   roleKeys: [],
@@ -32,11 +33,40 @@ const state = {
   idleTimer: null,
 };
 
-const METRIC_COLORS = {
-  runs: "#8fa3c4", samples: "#6a7d9e",
-  kinetic_energy_avg: "#4f8ef7", kinetic_energy_max: "#7fb0ff",
-  max_speed: "#38c6a0", mean_density_avg: "#e8b339",
-  max_density: "#f2d074", n_active_max: "#b37fe8", momentum_drift: "#e86060",
+/* Metric definitions (reference ARCHIVE_METRIC_DEFS, app.js:21-86): color,
+   y-axis class, display decimals, optional hard scale bounds. Metrics that
+   share an axis class share one REAL y-scale on the chart (the reference's
+   per-metric axis assignment, app.js:3719-3753) instead of each series
+   being normalised to its own 0-1 overlay. */
+const METRIC_DEFS = {
+  runs:               { color: "#8fa3c4", axis: "count",   decimals: 0, min: 0 },
+  samples:            { color: "#6a7d9e", axis: "count",   decimals: 0, min: 0 },
+  kinetic_energy_avg: { color: "#4f8ef7", axis: "energy",  decimals: 4, min: 0 },
+  kinetic_energy_max: { color: "#7fb0ff", axis: "energy",  decimals: 4, min: 0 },
+  max_speed:          { color: "#38c6a0", axis: "speed",   decimals: 3, min: 0 },
+  mean_density_avg:   { color: "#e8b339", axis: "density", decimals: 1 },
+  max_density:        { color: "#f2d074", axis: "density", decimals: 1 },
+  n_active_max:       { color: "#b37fe8", axis: "count",   decimals: 0, min: 0 },
+  momentum_drift:     { color: "#e86060", axis: "drift",   decimals: 5, min: 0 },
+};
+const mdef = (m) => METRIC_DEFS[m] || { color: "#8fa3c4", axis: m, decimals: 3 };
+const fmtMetric = (m, v) => typeof v === "number"
+  ? v.toFixed(mdef(m).decimals ?? 3) : "–";
+
+/* Issue taxonomy for manual step logging (the reference ISSUE_MAP analogue,
+   public/app.js:1-12 — primary issue -> sub-issues), recast for the
+   simulation domain. */
+const ISSUE_MAP = {
+  "instability": ["pressure blow-up", "velocity spike", "NaN/Inf state", "time-step too large"],
+  "boundary": ["wall penetration", "leak at corner", "ghost-layer gap", "obstacle tunnelling"],
+  "neighbor-grid": ["cell overflow", "skin violation", "stale bins", "halo mismatch"],
+  "mass-conservation": ["particle loss", "duplicate emission", "sink overdrain"],
+  "density-field": ["under-density at surface", "over-compression", "clumping"],
+  "performance": ["step-time regression", "rebin storm", "memory pressure", "compile churn"],
+  "rendering": ["frame artifact", "splat saturation", "missing frame"],
+  "hardware": ["device OOM", "interconnect stall", "preemption"],
+  "io": ["checkpoint failure", "export mismatch", "feed unavailable"],
+  "other": ["unclassified"],
 };
 
 /* ---------------- api wrapper (401 -> login, 423 -> reset) -------------- */
@@ -243,40 +273,298 @@ async function loadRuns() {
 
 function renderRuns() {
   $("runRows").innerHTML = state.runs.map((r) => `
-    <tr>
+    <tr data-id="${esc(r.id)}" class="${r.id === state.currentRunId ? "sel" : ""}">
       <td>${esc(r.runDate)}</td><td>${esc(r.name)}</td><td>${esc(r.scene)}</td>
       <td><span class="pill ${esc(r.status || "")}">${esc(r.status || "logged")}</span></td>
       <td>${(r.steps || []).length}</td>
-      <td>
-        <button data-act="exec" data-id="${esc(r.id)}">run</button>
-        <button data-act="archive" data-id="${esc(r.id)}">archive</button>
-        <button data-act="export" data-id="${esc(r.id)}">csv</button>
-        <button data-act="delete" data-id="${esc(r.id)}" class="danger">✕</button>
-      </td>
+      <td><button data-menu="1" data-id="${esc(r.id)}">⋮</button></td>
     </tr>`).join("");
+  renderRunDetail();
 }
 
-$("runRows").onclick = async (e) => {
-  const btn = e.target.closest("button"); if (!btn) return;
-  const id = btn.dataset.id;
+/* Per-row ⋮ menu (reference: createShowMenu, app.js:4891) + duplicate-run
+   flow (duplicateShow, app.js:4588). */
+const MENU_ACTIONS = [
+  ["exec", "execute"], ["dup", "duplicate"], ["archive", "archive"],
+  ["csv", "export csv"], ["json", "export json"], ["delete", "delete"],
+];
+function openRowMenu(btn, id) {
+  const menu = $("rowMenu");
+  menu.innerHTML = MENU_ACTIONS.map(([act, label]) =>
+    `<button data-act="${act}" data-id="${esc(id)}"
+       class="${act === "delete" ? "danger" : ""}">${label}</button>`).join("");
+  const r = btn.getBoundingClientRect();
+  menu.style.left = Math.max(8, r.right - 130 + scrollX) + "px";
+  menu.style.top = (r.bottom + 4 + scrollY) + "px";
+  menu.classList.add("open");
+}
+addEventListener("click", (e) => {
+  if (!e.target.closest("#rowMenu") && !e.target.closest("[data-menu]"))
+    $("rowMenu").classList.remove("open");
+});
+
+async function runAction(act, id) {
   try {
-    if (btn.dataset.act === "exec") {
+    if (act === "exec") {
       const steps = parseInt($("runSteps").value || "200", 10);
       await api("POST", `/api/runs/${id}/execute`, { steps });
       toast("run queued");
-    } else if (btn.dataset.act === "archive") {
+    } else if (act === "dup") {
+      const src = state.runs.find((r) => r.id === id);
+      if (!src) return;
+      const copy = await api("POST", "/api/runs", {
+        name: `${src.name} (copy)`, scene: src.scene, runDate: src.runDate,
+      });
+      state.currentRunId = copy.run?.id || null;
+      toast("run duplicated");
+    } else if (act === "archive") {
       await api("POST", `/api/runs/${id}/archive`, {});
       toast("archived");
-    } else if (btn.dataset.act === "export") {
-      const csv = await api("GET", `/api/runs/${id}/export?format=csv`);
-      download(`run-${id}.csv`, csv, "text/csv");
+    } else if (act === "csv" || act === "json") {
+      const data = await api("GET", `/api/runs/${id}/export?format=${act}`);
+      const text = typeof data === "string" ? data : JSON.stringify(data, null, 1);
+      download(`run-${id}.${act}`, text, act === "csv" ? "text/csv" : "application/json");
       return;
-    } else if (btn.dataset.act === "delete") {
+    } else if (act === "delete") {
       await api("DELETE", `/api/runs/${id}`);
+      if (state.currentRunId === id) state.currentRunId = null;
       toast("deleted (kept in archive)");
     }
     await loadRuns(); await loadArchive();
   } catch (err) { toast(err.message, true); }
+}
+
+$("runRows").onclick = (e) => {
+  const btn = e.target.closest("button");
+  if (btn && btn.dataset.menu) { openRowMenu(btn, btn.dataset.id); return; }
+  const tr = e.target.closest("tr[data-id]");
+  if (tr) { state.currentRunId = tr.dataset.id; renderRuns(); }
+};
+$("rowMenu").onclick = (e) => {
+  const btn = e.target.closest("button"); if (!btn) return;
+  $("rowMenu").classList.remove("open");
+  runAction(btn.dataset.act, btn.dataset.id);
+};
+
+/* ---------------- manual step logging (C8) + edit modal (C9) ----------- */
+
+function currentRun() {
+  return state.runs.find((r) => r.id === state.currentRunId) || null;
+}
+
+/* Client mirror of rbac.is_operator_only: such users get the operator
+   field locked to their own identity (the server forces it regardless —
+   service/api.py ep_step_create). */
+function isOperatorOnlyClient() {
+  const roles = state.user?.roles || [];
+  if (roles.includes("admin")) return false;
+  const levels = roles.map((r) => r.split(".")[1]);
+  return levels.includes("operator") && !levels.includes("lead");
+}
+
+let stepStatusVal = "ok";
+function bindStatusPills(groupEl, onChange) {
+  groupEl.onclick = (e) => {
+    const b = e.target.closest("button"); if (!b) return;
+    for (const x of groupEl.querySelectorAll("button"))
+      x.classList.toggle("on", x === b);
+    onChange(b.dataset.v);
+  };
+}
+bindStatusPills($("stepStatus"), (v) => { stepStatusVal = v; syncIssueBlock(); });
+
+/* Status ↔ issue coupling (the planned/launched ↔ status coupling
+   analogue, reference app.js:4248-4260): an "ok" step cannot carry an
+   issue; warn/fail require one. */
+function syncIssueBlock() {
+  const need = stepStatusVal !== "ok";
+  $("issueBlock").style.display = need ? "" : "none";
+  if (!need) { $("stepIssue").value = ""; $("stepSubIssue").innerHTML = ""; }
+}
+
+function fillIssueSelect(sel, value) {
+  sel.innerHTML = '<option value="">select…</option>' +
+    Object.keys(ISSUE_MAP).map((k) =>
+      `<option${k === value ? " selected" : ""}>${esc(k)}</option>`).join("");
+}
+function fillSubIssueSelect(sel, issue, value) {
+  const subs = ISSUE_MAP[issue] || [];
+  sel.innerHTML = subs.map((s) =>
+    `<option${s === value ? " selected" : ""}>${esc(s)}</option>`).join("");
+}
+$("stepIssue").onchange = () => fillSubIssueSelect($("stepSubIssue"), $("stepIssue").value);
+
+function renderRunDetail() {
+  const run = currentRun();
+  $("runDetail").style.display = run ? "" : "none";
+  if (!run) return;
+  $("runDetailTitle").textContent = `${run.name} · ${run.scene} · ${run.runDate}`;
+  const steps = [...(run.steps || [])].sort((a, b) => (a.step ?? 0) - (b.step ?? 0));
+  $("stepRows").innerHTML = steps.map((s) => `
+    <tr>
+      <td>${s.step ?? ""}</td><td>${esc(s.operator || "")}</td>
+      <td><span class="pill ${esc(s.status || "")}">${esc(s.status || "ok")}</span></td>
+      <td>${esc(s.issue ? `${s.issue}${s.subIssue ? " / " + s.subIssue : ""}` : "")}</td>
+      <td>${fmtNum(s.kinetic_energy)}</td><td>${fmtNum(s.max_speed)}</td>
+      <td class="muted">${s.recordedAt ? new Date(s.recordedAt).toLocaleTimeString() : ""}</td>
+      <td><button data-act="edit" data-sid="${esc(s.id)}">✎</button>
+          <button data-act="del" data-sid="${esc(s.id)}" class="danger">✕</button></td>
+    </tr>`).join("");
+  fillIssueSelect($("stepIssue"), $("stepIssue").value);
+  const opInput = $("stepOperator");
+  if (isOperatorOnlyClient()) {
+    opInput.value = state.user.name;
+    opInput.disabled = true;
+    $("stepLockLine").textContent = "operator identity locked to your account";
+  } else if (!opInput.value) opInput.value = state.user?.name || "";
+  syncIssueBlock();
+  // suggest the next unrecorded step index
+  if (!$("stepIndex").value && steps.length)
+    $("stepIndex").placeholder = String((steps[steps.length - 1].step ?? 0) + 1);
+}
+
+/* Shared validation + payload collection for the entry form and the edit
+   modal (required fields, numeric coercion, status/issue coupling —
+   reference app.js:4733-4755). `get(name)` returns the raw input string. */
+function collectStepPayload(get, run, statusVal, excludeId) {
+  const errors = {};
+  const idxRaw = get("index").trim();
+  const idx = Number(idxRaw);
+  if (idxRaw === "" || !Number.isInteger(idx) || idx < 0)
+    errors.stepIndex = "step index must be a whole number ≥ 0";
+  else if ((run.steps || []).some((s) => s.step === idx && s.id !== excludeId))
+    errors.stepIndex = `step ${idx} already recorded`;
+  const operator = get("operator").trim();
+  if (!operator) errors.stepOperator = "operator is required";
+  const payload = { step: idx, operator, status: statusVal };
+  if (statusVal !== "ok") {
+    const issue = get("issue");
+    if (!issue) errors.stepIssue = "issue is required for warn/fail";
+    else { payload.issue = issue; payload.subIssue = get("subIssue"); }
+  }
+  for (const [name, key] of [["ke", "kinetic_energy"], ["vmax", "max_speed"],
+                             ["rho", "mean_density"], ["nactive", "n_active"]]) {
+    const raw = get(name).trim();
+    if (!raw) continue;
+    const v = Number(raw);
+    if (!Number.isFinite(v)) errors.stepMetrics = `${key} must be numeric`;
+    else payload[key] = v;
+  }
+  const notes = get("notes").trim();
+  if (notes) payload.notes = notes;
+  return { payload, errors };
+}
+
+function showStepErrors(errors) {
+  for (const id of ["stepIndex", "stepOperator", "stepIssue", "stepMetrics"])
+    $("err-" + id).textContent = errors[id] || "";
+  return Object.keys(errors).length === 0;
+}
+
+$("stepForm").onsubmit = async (e) => {
+  e.preventDefault();
+  const run = currentRun(); if (!run) return;
+  const { payload, errors } = collectStepPayload((n) => ({
+    index: $("stepIndex").value, operator: $("stepOperator").value,
+    issue: $("stepIssue").value, subIssue: $("stepSubIssue").value,
+    ke: $("stepKE").value, vmax: $("stepVmax").value, rho: $("stepRho").value,
+    nactive: $("stepNActive").value, notes: $("stepNotes").value,
+  }[n]), run, stepStatusVal);
+  if (!showStepErrors(errors)) return;
+  try {
+    await api("POST", `/api/runs/${run.id}/steps`, payload);
+    toast(`step ${payload.step} logged`);
+    for (const id of ["stepIndex", "stepKE", "stepVmax", "stepRho", "stepNActive", "stepNotes"])
+      $(id).value = "";
+    await loadRuns();
+  } catch (err) { toast(err.message, true); }
+};
+
+$("stepRows").onclick = async (e) => {
+  const btn = e.target.closest("button"); if (!btn) return;
+  const run = currentRun(); if (!run) return;
+  const step = (run.steps || []).find((s) => s.id === btn.dataset.sid);
+  if (btn.dataset.act === "del") {
+    try {
+      await api("DELETE", `/api/runs/${run.id}/steps/${btn.dataset.sid}`);
+      toast("step deleted");
+      await loadRuns();
+    } catch (err) { toast(err.message, true); }
+  } else if (btn.dataset.act === "edit" && step) {
+    openStepEditModal(run, step);
+  }
+};
+
+/* Clone-based edit modal (reference: buildEntryFieldsClone + saveEditEntry,
+   app.js:5049-5266): the field set is rebuilt from the entry each time. */
+let editStatusVal = "ok";
+function openStepEditModal(run, step) {
+  editStatusVal = step.status || "ok";
+  $("editStepId").value = step.id;
+  const lock = isOperatorOnlyClient();
+  $("stepEditFields").innerHTML = `
+    <label class="muted">step index</label>
+    <input id="edit-index" type="number" min="0" step="1" style="width:100%"
+      value="${esc(step.step ?? "")}">
+    <span class="field-error" id="err-editIndex"></span>
+    <label class="muted">operator</label>
+    <input id="edit-operator" style="width:100%" ${lock ? "disabled" : ""}
+      value="${esc(lock ? state.user.name : (step.operator || ""))}">
+    <label class="muted">status</label>
+    <div class="pill-group" id="edit-status">
+      ${["ok", "warn", "fail"].map((v) =>
+        `<button type="button" data-v="${v}"
+           class="${v === editStatusVal ? "on" : ""}">${v}</button>`).join("")}
+    </div>
+    <div id="edit-issueBlock" style="${editStatusVal === "ok" ? "display:none" : ""}">
+      <label class="muted">issue</label>
+      <select id="edit-issue" style="width:100%"></select>
+      <label class="muted">detail</label>
+      <select id="edit-subIssue" style="width:100%"></select>
+    </div>
+    <div class="metric-grid">
+      <span><label class="muted">kinetic energy</label>
+        <input id="edit-ke" type="number" step="any" value="${esc(step.kinetic_energy ?? "")}"></span>
+      <span><label class="muted">max speed</label>
+        <input id="edit-vmax" type="number" step="any" value="${esc(step.max_speed ?? "")}"></span>
+      <span><label class="muted">mean density</label>
+        <input id="edit-rho" type="number" step="any" value="${esc(step.mean_density ?? "")}"></span>
+      <span><label class="muted">active particles</label>
+        <input id="edit-nactive" type="number" min="0" step="1" value="${esc(step.n_active ?? "")}"></span>
+    </div>
+    <label class="muted">notes</label>
+    <input id="edit-notes" style="width:100%" value="${esc(step.notes || "")}">`;
+  fillIssueSelect($("edit-issue"), step.issue);
+  fillSubIssueSelect($("edit-subIssue"), step.issue, step.subIssue);
+  $("edit-issue").onchange = () =>
+    fillSubIssueSelect($("edit-subIssue"), $("edit-issue").value);
+  bindStatusPills($("edit-status"), (v) => {
+    editStatusVal = v;
+    $("edit-issueBlock").style.display = v === "ok" ? "none" : "";
+  });
+  $("stepEditError").textContent = "";
+  $("stepEditModal").classList.add("open");
+}
+$("stepEditClose").onclick = () => $("stepEditModal").classList.remove("open");
+
+$("stepEditForm").onsubmit = async (e) => {
+  e.preventDefault();
+  const run = currentRun(); if (!run) return;
+  const { payload, errors } = collectStepPayload((n) => ({
+    index: $("edit-index").value, operator: $("edit-operator").value,
+    issue: $("edit-issue").value, subIssue: $("edit-subIssue").value,
+    ke: $("edit-ke").value, vmax: $("edit-vmax").value, rho: $("edit-rho").value,
+    nactive: $("edit-nactive").value, notes: $("edit-notes").value,
+  }[n]), run, editStatusVal, $("editStepId").value);
+  const msgs = Object.values(errors);
+  $("stepEditError").textContent = msgs.join(" · ");
+  if (msgs.length) return;
+  try {
+    await api("PUT", `/api/runs/${run.id}/steps/${$("editStepId").value}`, payload);
+    $("stepEditModal").classList.remove("open");
+    toast("step updated");
+    await loadRuns();
+  } catch (err) { $("stepEditError").textContent = err.message; }
 };
 
 $("runForm").onsubmit = async (e) => {
@@ -379,7 +667,7 @@ function renderMetricToggles() {
   for (const m of Object.keys(state.analytics?.series || {})) {
     const b = document.createElement("button");
     b.textContent = m;
-    b.style.color = METRIC_COLORS[m] || "#8fa3c4";
+    b.style.color = mdef(m).color;
     b.className = state.metricsOn.has(m) ? "on" : "";
     b.onclick = () => {
       state.metricsOn.has(m) ? state.metricsOn.delete(m) : state.metricsOn.add(m);
@@ -416,7 +704,7 @@ function activeSeries() {
 function renderChart() {
   const svg = $("chart");
   const { dates, series } = activeSeries();
-  const W = svg.clientWidth || 800, H = 320, PAD = { l: 10, r: 10, t: 14, b: 26 };
+  const W = svg.clientWidth || 800, H = 320;
   svg.setAttribute("viewBox", `0 0 ${W} ${H}`);
   svg.innerHTML = "";
   $("archiveSummary").textContent =
@@ -426,50 +714,95 @@ function renderChart() {
       text-anchor="middle" font-size="13">no archived data in selection</text>`;
     return;
   }
+
+  /* Per-axis-class REAL y-scales (reference: multi-axis assignment,
+     app.js:3719-3753): every active metric maps onto the shared scale of
+     its axis class; the first two active classes get labelled tick rails
+     (left / right), further classes share the plot unlabelled. */
+  const axes = [];  // [{cls, lo, hi, metrics: []}]
+  for (const m of state.metricsOn) {
+    const vals = (series[m] || []).filter((v) => typeof v === "number");
+    if (!vals.length) continue;
+    const d = mdef(m);
+    let ax = axes.find((a) => a.cls === d.axis);
+    if (!ax) { ax = { cls: d.axis, lo: Infinity, hi: -Infinity, metrics: [] }; axes.push(ax); }
+    ax.metrics.push(m);
+    ax.lo = Math.min(ax.lo, d.min ?? Math.min(...vals));
+    ax.hi = Math.max(ax.hi, d.max ?? Math.max(...vals));
+  }
+  for (const ax of axes) if (ax.hi === ax.lo) { ax.hi = ax.lo + 1; }
+  const PAD = { l: axes.length >= 1 ? 52 : 10, r: axes.length >= 2 ? 52 : 10, t: 14, b: 26 };
+
   const x = (i) => PAD.l + (dates.length === 1 ? (W - PAD.l - PAD.r) / 2
     : (i * (W - PAD.l - PAD.r)) / (dates.length - 1));
+  const yOf = (ax, v) =>
+    PAD.t + (1 - (v - ax.lo) / (ax.hi - ax.lo)) * (H - PAD.t - PAD.b);
   const ns = "http://www.w3.org/2000/svg";
+  const text = (xp, yp, s, anchor, color) => {
+    const t = document.createElementNS(ns, "text");
+    t.setAttribute("x", xp); t.setAttribute("y", yp);
+    t.setAttribute("fill", color || "#7f8ca6"); t.setAttribute("font-size", "10");
+    t.setAttribute("text-anchor", anchor);
+    t.textContent = s;
+    svg.appendChild(t);
+  };
+
   // x labels
   const every = Math.max(1, Math.ceil(dates.length / 10));
-  for (let i = 0; i < dates.length; i += every) {
-    const t = document.createElementNS(ns, "text");
-    t.setAttribute("x", x(i)); t.setAttribute("y", H - 8);
-    t.setAttribute("fill", "#7f8ca6"); t.setAttribute("font-size", "10");
-    t.setAttribute("text-anchor", "middle");
-    t.textContent = dates[i].slice(5);
-    svg.appendChild(t);
-  }
-  // per-metric normalised lines (each metric scales to its own [min,max] —
-  // the reference's multi-axis assignment analogue for unitless overlay)
-  for (const m of state.metricsOn) {
-    const vals = series[m];
-    if (!vals) continue;
-    const nums = vals.filter((v) => typeof v === "number");
-    if (!nums.length) continue;
-    const lo = Math.min(...nums), hi = Math.max(...nums);
-    const y = (v) => hi === lo ? H / 2
-      : PAD.t + (1 - (v - lo) / (hi - lo)) * (H - PAD.t - PAD.b);
-    let dstr = "", pen = false;
-    vals.forEach((v, i) => {
-      if (typeof v !== "number") { pen = false; return; }
-      dstr += `${pen ? "L" : "M"}${x(i).toFixed(1)},${y(v).toFixed(1)}`;
-      pen = true;
-    });
-    const p = document.createElementNS(ns, "path");
-    p.setAttribute("d", dstr);
-    p.setAttribute("fill", "none");
-    p.setAttribute("stroke", METRIC_COLORS[m] || "#8fa3c4");
-    p.setAttribute("stroke-width", "2");
-    svg.appendChild(p);
-    vals.forEach((v, i) => {
-      if (typeof v !== "number") return;
-      const c = document.createElementNS(ns, "circle");
-      c.setAttribute("cx", x(i)); c.setAttribute("cy", y(v)); c.setAttribute("r", 4);
-      c.setAttribute("fill", METRIC_COLORS[m] || "#8fa3c4");
-      c.style.cursor = "pointer";
-      c.addEventListener("click", (ev) => openDayDetail(dates[i], ev));
-      svg.appendChild(c);
-    });
+  for (let i = 0; i < dates.length; i += every)
+    text(x(i), H - 8, dates[i].slice(5), "middle");
+
+  // y tick rails for the first two axis classes
+  const fmtTick = (ax, v) => {
+    const dec = Math.max(...ax.metrics.map((m) => mdef(m).decimals ?? 3));
+    const a = Math.abs(v);
+    return a !== 0 && (a < 0.01 || a >= 1e5) ? v.toExponential(1) : v.toFixed(Math.min(dec, 4));
+  };
+  axes.slice(0, 2).forEach((ax, side) => {
+    const color = mdef(ax.metrics[0]).color;
+    const xp = side === 0 ? PAD.l - 6 : W - PAD.r + 6;
+    const anchor = side === 0 ? "end" : "start";
+    for (let k = 0; k <= 4; k++) {
+      const v = ax.lo + (k / 4) * (ax.hi - ax.lo);
+      const yp = yOf(ax, v);
+      text(xp, yp + 3, fmtTick(ax, v), anchor, color);
+      if (side === 0) {
+        const ln = document.createElementNS(ns, "line");
+        ln.setAttribute("x1", PAD.l); ln.setAttribute("x2", W - PAD.r);
+        ln.setAttribute("y1", yp); ln.setAttribute("y2", yp);
+        ln.setAttribute("stroke", "#243048"); ln.setAttribute("stroke-width", "1");
+        svg.appendChild(ln);
+      }
+    }
+    text(xp, PAD.t - 4, ax.cls, anchor, color);
+  });
+
+  for (const ax of axes) {
+    for (const m of ax.metrics) {
+      const vals = series[m];
+      const y = (v) => yOf(ax, v);
+      let dstr = "", pen = false;
+      vals.forEach((v, i) => {
+        if (typeof v !== "number") { pen = false; return; }
+        dstr += `${pen ? "L" : "M"}${x(i).toFixed(1)},${y(v).toFixed(1)}`;
+        pen = true;
+      });
+      const p = document.createElementNS(ns, "path");
+      p.setAttribute("d", dstr);
+      p.setAttribute("fill", "none");
+      p.setAttribute("stroke", mdef(m).color);
+      p.setAttribute("stroke-width", "2");
+      svg.appendChild(p);
+      vals.forEach((v, i) => {
+        if (typeof v !== "number") return;
+        const c = document.createElementNS(ns, "circle");
+        c.setAttribute("cx", x(i)); c.setAttribute("cy", y(v)); c.setAttribute("r", 4);
+        c.setAttribute("fill", mdef(m).color);
+        c.style.cursor = "pointer";
+        c.addEventListener("click", (ev) => openDayDetail(dates[i], ev));
+        svg.appendChild(c);
+      });
+    }
   }
 }
 
@@ -483,8 +816,8 @@ function openDayDetail(date, ev) {
       <div style="margin-bottom:8px">
         <b>${esc(r.name)}</b> <span class="muted">${esc(r.scene)}</span><br>
         <span class="muted">samples ${r.metrics.samples ?? 0} ·
-        KE avg ${fmtNum(r.metrics.kinetic_energy_avg)} ·
-        v_max ${fmtNum(r.metrics.max_speed)}</span>
+        KE avg ${fmtMetric("kinetic_energy_avg", r.metrics.kinetic_energy_avg)} ·
+        v_max ${fmtMetric("max_speed", r.metrics.max_speed)}</span>
       </div>`).join("");
   const wrap = $("chartWrap").getBoundingClientRect();
   dd.style.left = Math.min(ev.clientX - wrap.left + 10, wrap.width - 280) + "px";
@@ -649,6 +982,8 @@ document.addEventListener("keydown", (e) => {
   if (e.key === "Escape") {
     $("drawer").classList.remove("open");
     $("webhookModal").classList.remove("open");
+    $("stepEditModal").classList.remove("open");
+    $("rowMenu").classList.remove("open");
     $("dayDetail").classList.remove("open");
   }
 });

@@ -380,6 +380,15 @@ def make_handler(app: App):
             self._require_auth()
             self._send(200, {"directory": app.users.role_directory()})
 
+        def ep_staff_put(self, qs):
+            """Deliberate tombstone: the staff directory derives from the
+            user directory and is read-only (reference: PUT /api/staff ->
+            410 Gone, server/index.js:276)."""
+            self._require_auth()
+            raise HttpError(
+                410, "staff directory is derived from users; manage users instead"
+            )
+
         def ep_config_get(self, qs):
             self._require_auth()
             cfg = dict(app.config)
@@ -701,7 +710,7 @@ def make_handler(app: App):
         (r"/api/users", {"GET": Handler.ep_users_list, "POST": Handler.ep_users_create}),
         (r"/api/users/([^/]+)/reset-password", {"POST": Handler.ep_users_reset}),
         (r"/api/users/([^/]+)", {"PUT": Handler.ep_users_update}),
-        (r"/api/staff", {"GET": Handler.ep_staff}),
+        (r"/api/staff", {"GET": Handler.ep_staff, "PUT": Handler.ep_staff_put}),
         (r"/api/config", {"GET": Handler.ep_config_get, "PUT": Handler.ep_config_put}),
         (r"/api/scenes", {"GET": Handler.ep_scenes}),
         (r"/api/runs", {"GET": Handler.ep_runs_list, "POST": Handler.ep_runs_create}),

@@ -193,3 +193,55 @@ def test_webhook_secret_masked_in_config(server):
     app.config["webhook"]["secret"] = "super-secret"
     _, body = c.req("GET", "/api/config", expect=200)
     assert body["config"]["webhook"]["secret"] == "***"
+
+
+def test_staff_put_gone(server):
+    """PUT /api/staff is a deliberate 410 tombstone (reference:
+    server/index.js:276 — the staff directory derives from users)."""
+    c, _ = server
+    _login_admin(c)
+    c.req("PUT", "/api/staff", {"directory": {}}, 410)
+
+
+def test_step_update_and_delete(server):
+    """Entry edit-modal backend: PUT rewrites a step (operator identity
+    still forced for operator-only users), DELETE removes it."""
+    c, _ = server
+    _login_admin(c)
+    _, body = c.req(
+        "POST", "/api/runs",
+        {"name": "r", "scene": "dam_break_2d", "runDate": "2099-01-01"}, 201,
+    )
+    rid = body["run"]["id"]
+    _, body = c.req(
+        "POST", f"/api/runs/{rid}/steps",
+        {"step": 3, "operator": "Administrator", "status": "warn",
+         "issue": "boundary", "subIssue": "wall penetration"}, 201,
+    )
+    sid = body["run"]["steps"][0]["id"]
+    _, body = c.req(
+        "PUT", f"/api/runs/{rid}/steps/{sid}",
+        {"step": 3, "operator": "Administrator", "status": "ok",
+         "max_speed": 1.25}, 200,
+    )
+    s = body["run"]["steps"][0]
+    assert s["status"] == "ok" and s["max_speed"] == 1.25
+    c.req("DELETE", f"/api/runs/{rid}/steps/{sid}", None, 200)
+    _, body = c.req("GET", "/api/runs", expect=200)
+    assert body["runs"][0]["steps"] == []
+
+
+def test_spa_shell_serves_step_logging_ui(server):
+    """The static shell carries the operator entry-logging workspace (C8),
+    the clone-based edit modal (C9), and the per-row run menu."""
+    import urllib.request
+
+    c, _ = server
+    html = urllib.request.urlopen(c.base + "/").read().decode()
+    for needle in ("stepForm", "stepEditModal", "rowMenu", "runDetail",
+                   "stepStatus", "stepIssue"):
+        assert needle in html, needle
+    js = urllib.request.urlopen(c.base + "/app.js").read().decode()
+    for needle in ("ISSUE_MAP", "collectStepPayload", "openStepEditModal",
+                   "isOperatorOnlyClient", "METRIC_DEFS", "openRowMenu"):
+        assert needle in js, needle
