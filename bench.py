@@ -5,6 +5,9 @@ at 1M particles, single chip. vs_baseline is the fraction of the BASELINE
 north-star target (1e9 particle-steps/sec on a v5e-8); the reference repo
 itself publishes no numbers (BASELINE.md).
 
+Hygiene (VERDICT r02 #5): every timed window is >= 20 steps and repeated
+>= 3 times; rows report the MEDIAN ms/step plus all reps, the rebin count
+over the timed window, and (for the flagship) standalone per-phase times.
 Extra sub-benchmarks (2D 4k demo steps/s — the second metric named in
 BASELINE.json) ride along in "extra".
 """
@@ -12,6 +15,7 @@ BASELINE.json) ride along in "extra".
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
@@ -44,27 +48,95 @@ def _sync(b):
     return float(np.asarray(b.travel))
 
 
-def _measure(scene, warm_steps: int, steps: int):
+def _timed_reps(roll, b, steps: int, reps: int):
+    """Run ``roll(b, steps)`` ``reps`` times; returns (ms/step list, final
+    state, rebins over the whole timed span)."""
+    import numpy as np
+
+    r0 = int(np.asarray(b.n_rebins))
+    walls = []
+    for _ in range(reps):
+        t0 = time.time()
+        b = roll(b, steps)
+        _sync(b)
+        walls.append((time.time() - t0) / steps * 1e3)
+    rebins = int(np.asarray(b.n_rebins)) - r0
+    return walls, b, rebins
+
+
+def _row(n, steps, reps_ms, rebins, reps, extra=None):
+    med = statistics.median(reps_ms)
+    out = {
+        "n_particles": n,
+        "steps_per_rep": steps,
+        "reps": reps,
+        "ms_per_step": round(med, 4),
+        "ms_per_step_reps": [round(x, 4) for x in reps_ms],
+        "particle_steps_per_sec": n / (med / 1e3),
+        "steps_per_sec": 1e3 / med,
+        "rebins_per_step": round(rebins / (steps * reps), 4),
+    }
+    if extra:
+        out.update(extra)
+    return out
+
+
+def _measure(scene, warm_steps: int, steps: int, reps: int = 3, phases=False):
     from sph_pie_tpu.solvers import wcsph_binned
 
     b = scene.binned_state()
     b = wcsph_binned.simulate(scene.params, scene.bgrid, b, warm_steps)
     _sync(b)
-    t0 = time.time()
-    b = wcsph_binned.simulate(scene.params, scene.bgrid, b, steps)
-    _sync(b)
-    wall = time.time() - t0
+
+    def roll(bb, k):
+        return wcsph_binned.simulate(scene.params, scene.bgrid, bb, k)
+
+    walls, b, rebins = _timed_reps(roll, b, steps, reps)
+    extra = {"overflow": int(b.overflow)}
+    if phases:
+        extra["phases_ms"] = _wcsph_phases(scene, b)
     n = int(scene.state.n_active())
+    return _row(n, steps, walls, rebins, reps, extra)
+
+
+def _wcsph_phases(scene, b):
+    """Standalone density / forces / rebin timings on the CURRENT state."""
+    import jax
+
+    from sph_pie_tpu.kernels import eos
+    from sph_pie_tpu.neighbors import binned as nb
+    from sph_pie_tpu.solvers import wcsph_binned
+    from sph_pie_tpu.utils.struct import replace
+
+    params, grid = scene.params, scene.bgrid
+    rho = wcsph_binned._density(params, grid, b)
+    b = replace(b, density=rho, pressure=eos.tait_pressure(params, rho))
+
+    def t(fn, *args, reps=3):
+        out = fn(*args)
+        _sync_leaf(out)
+        t0 = time.time()
+        for _ in range(reps):
+            out = fn(*args)
+        _sync_leaf(out)
+        return round((time.time() - t0) / reps * 1e3, 2)
+
+    dens = jax.jit(lambda bb: wcsph_binned._density(params, grid, bb))
+    forc = jax.jit(lambda bb: wcsph_binned._forces(params, grid, bb))
+    reb = jax.jit(lambda bb: nb.rebin(grid, bb))
     return {
-        "n_particles": n,
-        "steps": steps,
-        "wall_s": round(wall, 4),
-        "ms_per_step": round(wall / steps * 1e3, 4),
-        "particle_steps_per_sec": n * steps / wall,
-        "steps_per_sec": steps / wall,
-        "overflow": int(b.overflow),
-        "rebins": int(__import__("numpy").asarray(b.n_rebins)),
+        "density": t(dens, b),
+        "forces": t(forc, b),
+        "rebin": t(reb, b),
     }
+
+
+def _sync_leaf(out):
+    import jax
+    import numpy as np
+
+    leaf = jax.tree.leaves(out)[0]
+    return float(np.asarray(leaf.ravel()[0]))
 
 
 def _measure_emitter(n_steps=500):
@@ -76,20 +148,25 @@ def _measure_emitter(n_steps=500):
 
     scene = emitter_2d(4096)
     st, _ = run_lib.run_scene(scene, 100)  # warm/compile
-    t0 = time.time()
-    st, overflow = run_lib.run_scene(scene, n_steps)
+    walls = []
+    for _ in range(3):
+        t0 = time.time()
+        st, overflow = run_lib.run_scene(scene, n_steps)
+        walls.append(time.time() - t0)
     n_final = int(np.asarray(st.active).sum())
-    wall = time.time() - t0
+    med = statistics.median(walls)
     return {
         "steps": n_steps,
-        "wall_s": round(wall, 4),
-        "steps_per_sec": n_steps / wall,
+        "reps": 3,
+        "wall_s": round(med, 4),
+        "wall_s_reps": [round(w, 4) for w in walls],
+        "steps_per_sec": n_steps / med,
         "particles_emitted": n_final,
         "overflow": int(overflow),
     }
 
 
-def _measure_pbf(n=100_000, steps=20, render=False):
+def _measure_pbf(n=100_000, steps=20, reps=3, render=False):
     """BASELINE config #4: incompressible PBF solver; with render=True the
     on-device splat render runs INSIDE the timed loop every step (the
     config reads "PBF/PCISPH 1M w/ on-device splat render")."""
@@ -108,7 +185,7 @@ def _measure_pbf(n=100_000, steps=20, render=False):
     if render:
 
         @jax.jit
-        def roll(b, k):
+        def roll_fn(b, k):
             def body(_, carry):
                 bb, checksum = carry
                 bb = pbf.step(scene.params, grid, pp, bb)
@@ -125,30 +202,27 @@ def _measure_pbf(n=100_000, steps=20, render=False):
                 (b, jnp.zeros((), jnp.uint32)),
             )
 
-        def run(b, k):
-            b, checksum = roll(b, k)
+        def roll(b, k):
+            b, checksum = roll_fn(b, k)
             return b
     else:
 
-        def run(b, k):
+        def roll(b, k):
             return pbf.simulate(scene.params, grid, pp, b, k)
 
     b = scene.binned_state()
-    b = run(b, 2)
+    b = roll(b, 2)
     _sync(b)
-    t0 = time.time()
-    b = run(b, steps)
-    _sync(b)
-    wall = time.time() - t0
+    walls, b, rebins = _timed_reps(roll, b, steps, reps)
     n_act = int(scene.state.n_active())
-    return {
-        "n_particles": n_act,
-        "steps": steps,
-        "render_in_loop": bool(render),
-        "ms_per_step": round(wall / steps * 1e3, 4),
-        "particle_steps_per_sec": n_act * steps / wall,
-        "overflow": int(b.overflow),
-    }
+    return _row(
+        n_act,
+        steps,
+        walls,
+        rebins,
+        reps,
+        {"render_in_loop": bool(render), "overflow": int(b.overflow)},
+    )
 
 
 def main() -> int:
@@ -163,8 +237,11 @@ def main() -> int:
         ("pbf_3d_100k", _measure_pbf),
         # BASELINE config #4 as written: PBF at 1M, with and without the
         # on-device splat render inside the timed loop
-        ("pbf_3d_1m", lambda: _measure_pbf(1_000_000, 8, render=False)),
-        ("pbf_3d_1m_render", lambda: _measure_pbf(1_000_000, 8, render=True)),
+        ("pbf_3d_1m", lambda: _measure_pbf(1_000_000, 20, 3, render=False)),
+        (
+            "pbf_3d_1m_render",
+            lambda: _measure_pbf(1_000_000, 20, 3, render=True),
+        ),
     ):
         try:
             extra[key] = fn()
@@ -174,11 +251,11 @@ def main() -> int:
     # Flagship: 3D dam break at 1M (fall back to 100k if the chip can't).
     flagship_n = 1_000_000
     try:
-        flag = _measure(dam_break_3d(flagship_n), 2, 10)
+        flag = _measure(dam_break_3d(flagship_n), 5, 20, reps=3, phases=True)
     except Exception as e:  # OOM or device fault: report the smaller config
         extra["flagship_error"] = f"{type(e).__name__}: {e}"[:300]
         flagship_n = 100_000
-        flag = _measure(dam_break_3d(flagship_n), 2, 20)
+        flag = _measure(dam_break_3d(flagship_n), 5, 20, reps=3)
     extra[f"dam_break_3d_{flagship_n // 1000}k"] = flag
 
     value = flag["particle_steps_per_sec"]

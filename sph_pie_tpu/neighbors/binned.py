@@ -376,6 +376,11 @@ def _bin_rows(
         valid_d = mass_d > 0
         owner_d = jnp.where(valid_d, owner_raw, -1)
     else:
+        # Per-COLUMN scalar scatters. A packed [K, 2dim+1] row scatter
+        # into a dense [S, 7] target was measured WORSE (rebin 104 ->
+        # 152 ms at 1M on v5e): the [S, 7] layout lane-pads 7 -> 128 on
+        # the trailing axis, an 18x memory bloat that swamps the per-row
+        # amortisation. Flat [S] columns tile (8, 128) with zero waste.
 
         def scat(rows):
             return jnp.zeros((S,), rows.dtype).at[slot].set(rows, mode="drop")

@@ -32,6 +32,15 @@ from sph_pie_tpu.solvers.wcsph_binned import _planar, _r2, maybe_rebin
 from sph_pie_tpu.utils.struct import pytree_dataclass, replace
 
 
+@pytree_dataclass
+class _DensView:
+    """Duck-typed view for wcsph_binned._density (pos/mass/valid only)."""
+
+    pos: jax.Array
+    mass: jax.Array
+    valid: jax.Array
+
+
 @pytree_dataclass(meta_fields=("iters", "use_vorticity"))
 class PbfParams:
     """PBF solver knobs; FluidParams supplies h/dt/rho0/bounds/gravity."""
@@ -47,6 +56,18 @@ class PbfParams:
     sor: jax.Array              # under-relaxation of the Jacobi projection
                                 # (1.0 = raw; ~0.5 kills the overshoot
                                 # jitter of simultaneous corrections)
+    proj_cap_frac: jax.Array    # per-iteration projection cap as a
+                                # fraction of the Verlet skin. Correctness
+                                # never depends on it (maybe_rebin fires
+                                # lazily on TRUE drift either way); it
+                                # controls the rebin FIRE RATE: at 0.5
+                                # every capped projection alone exceeds
+                                # the skin/2 trigger, so violent scenes
+                                # rebin before every fold (~4x/step at
+                                # 1M); at 0.25 two projections fit one
+                                # bin epoch (~2x/step measured). Only
+                                # the most violent <0.1% of projections
+                                # are clipped harder.
 
 
 def make_pbf_params(
@@ -57,6 +78,7 @@ def make_pbf_params(
     s_corr_dq: float = 0.3,
     vort_eps: float = 0.0,
     sor: float = 0.8,
+    proj_cap_frac: float = 0.25,
     dtype=jnp.float32,
 ) -> PbfParams:
     """``s_corr_k`` is h-relative: the effective artificial-pressure
@@ -77,6 +99,7 @@ def make_pbf_params(
         s_corr_dq=f(s_corr_dq),
         vort_eps=f(vort_eps),
         sor=f(sor),
+        proj_cap_frac=f(proj_cap_frac),
     )
 
 
@@ -292,8 +315,10 @@ def step(
       * under-relaxes the Jacobi projection (``pbf.sor``) — simultaneous
         neighbor corrections overshoot at full step, which is the jitter
         that round 1's dynamics hid by clamping at max_speed.
-      * hard-caps a single projection at skin/2 (never observed at sor
-        0.5; a pure safety net for the skin bookkeeping below).
+      * hard-caps a single projection at proj_cap_frac * skin (default
+        skin/4): besides being a safety net for the skin bookkeeping, the
+        cap size sets how many projections fit one bin epoch and thus the
+        rebin FIRE RATE of the checks below (see PbfParams.proj_cap_frac).
     """
     b = maybe_rebin(grid, b)
     periodic = any(grid.periodic)
@@ -343,7 +368,7 @@ def step(
         travel=b.travel + max_norm(x_star - b.pos),
     )
 
-    proj_cap = 0.5 * grid.skin
+    proj_cap = pbf.proj_cap_frac * grid.skin
 
     def iter_body(_, bb):
         bb = maybe_rebin(grid, bb)
@@ -393,9 +418,13 @@ def step(
     new_vel = jnp.where(valid, disp / params.dt, 0.0)
     new_vel = clamp_speed(params, new_vel)
 
-    # Final density (diagnostics/rendering + XSPH/vorticity weights)
-    fields = {**_planar("p", x_star), "mass": b.mass}
-    _, rho = _lambda_fold(params, pbf, grid, fields)
+    # Final density (diagnostics/rendering + XSPH/vorticity weights):
+    # a density-ONLY fold — the round-2 version ran the full lambda fold
+    # here, accumulating 4 gradient planes nobody reads (lambda fold
+    # 75 ms vs density fold ~41 ms at 1M; scripts/micro_pbf.py).
+    from sph_pie_tpu.solvers import wcsph_binned as _wb
+
+    rho = _wb._density(params, grid, _DensView(x_star, b.mass, b.valid))
     rho = jnp.maximum(rho, 1e-6 * params.rest_density)  # safe 1/rho everywhere
 
     if pbf.use_vorticity:

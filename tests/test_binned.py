@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sph_pie_tpu.neighbors import binned as nb
 from sph_pie_tpu.oracle import oracle_from_scene
@@ -114,6 +115,7 @@ def test_slab_windows_cover_neighbor_cells():
     assert not (true_pairs & ~found).any()
 
 
+@pytest.mark.heavy
 def test_symmetric_fold_matches_one_sided():
     """Newton's-3rd-law fold == one-sided fold (both passes, fp tolerance)."""
     import dataclasses
@@ -149,6 +151,7 @@ def test_symmetric_fold_matches_one_sided():
         assert dx.max() / max(xscale, 1e-12) < 3e-5
 
 
+@pytest.mark.heavy
 def test_adaptive_rows_fold_matches_static():
     """Per-block dynamic home-row fold == static fold (fp-tiling tolerance)."""
     import dataclasses

@@ -117,6 +117,7 @@ def test_static_shell_served(server):
     assert "sph-pie-tpu" in body
 
 
+@pytest.mark.heavy
 def test_preview_png_advances(server):
     c, _ = server
     req = urllib.request.Request(c.base + "/api/scenes/dam_break_2d/preview.png?steps=25&res=64")

@@ -65,6 +65,7 @@ def test_scene_file_builder_reference():
     assert int(scene.state.n_active()) > 3500
 
 
+@pytest.mark.heavy
 def test_scene_file_declarative_faucet():
     scene = scene_config.load_scene_file("config/scene-faucet-2d.json")
     assert scene.name == "faucet-2d"

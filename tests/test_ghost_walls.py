@@ -1,6 +1,7 @@
 """Frozen ghost boundary particles (no-slip walls, physics-depth item)."""
 
 import numpy as np
+import pytest
 
 from sph_pie_tpu.neighbors import binned as nb
 from sph_pie_tpu.scenes import dam_break_2d
@@ -26,6 +27,7 @@ def test_ghost_scene_shapes():
     assert ((above[:, 0] < 0.0) | (above[:, 0] > 1.0)).all()
 
 
+@pytest.mark.heavy
 def test_ghosts_never_move_and_fluid_stays_in_box():
     scene = _scene()
     g = scene.bgrid
@@ -57,6 +59,7 @@ def test_ghosts_never_move_and_fluid_stays_in_box():
     assert int(np.asarray(b.overflow)) == 0
 
 
+@pytest.mark.heavy
 def test_wall_density_near_rest():
     """Wall-adjacent fluid sees full kernel support through the ghosts, so
     its density sits near rest instead of the ~50% deficit bare walls give."""

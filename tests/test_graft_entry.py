@@ -6,6 +6,7 @@ effect, so make_mesh(8) raised. The entry now detects an initialized
 backend and re-execs in a clean subprocess.
 """
 
+import pytest
 import subprocess
 import sys
 
@@ -20,6 +21,7 @@ def test_entry_compiles_single_device():
     jax.block_until_ready(out.pos)
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip_with_initialized_backend():
     # The test session has a live 8-device CPU backend (conftest), so this
     # exercises the detection logic; with >= n devices available it may run
@@ -28,6 +30,7 @@ def test_dryrun_multichip_with_initialized_backend():
     dryrun_multichip(4)
 
 
+@pytest.mark.heavy
 def test_dryrun_multichip_poisoned_one_device_process():
     # Simulate the exact round-1 driver environment: a process whose JAX
     # backend is already initialized with a single device. dryrun must

@@ -12,6 +12,7 @@ def _scene():
     return builders.dam_break_2d(n_target=400)
 
 
+@pytest.mark.heavy
 def test_pbf_settles_incompressible():
     scene = _scene()
     pp = pbf.make_pbf_params(iters=4)
@@ -55,6 +56,7 @@ def test_pbf_column_collapses():
     assert np.abs(np.asarray(st.vel)[np.asarray(st.active)]).max() < 10.0
 
 
+@pytest.mark.heavy
 def test_pbf_respects_obstacles():
     from sph_pie_tpu.scenes import obstacles as obs_lib
 
@@ -69,6 +71,7 @@ def test_pbf_respects_obstacles():
     assert (d > 0.07 - 3 * float(scene.params.h)).all()
 
 
+@pytest.mark.heavy
 def test_pbf_vorticity_confinement():
     """omega matches a direct O(N^2) curl; enabling confinement keeps the
     sim finite and (3D) produces a force perpendicular to omega."""
@@ -147,7 +150,7 @@ def test_pbf_matches_bruteforce_oracle_f64():
             np.asarray(scene.state.pos)[act],
             np.asarray(scene.state.vel)[act],
             np.asarray(scene.state.mass)[act],
-            proj_cap=0.5 * g.skin,
+            proj_cap=float(pp.proj_cap_frac) * g.skin,
         )
         want = oracle.run(steps)
         err = np.abs(got - want).max()

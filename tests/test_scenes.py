@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from sph_pie_tpu.core import state as state_lib
 from sph_pie_tpu.oracle import oracle_from_scene
@@ -95,6 +96,7 @@ def test_run_scene_plain_dam_break_matches_simulate():
     assert err < 1e-4
 
 
+@pytest.mark.heavy
 def test_two_emitters_disjoint_slots_and_both_fire():
     """Multiple emitters per scene (disjoint slot ranges, merged schedule)."""
     import numpy as np

@@ -42,6 +42,7 @@ def test_sharded_step_matches_single_device():
     assert int(b_shard.overflow) == int(b_single.overflow) == 0
 
 
+@pytest.mark.heavy
 def test_sharded_simulate_includes_rebin():
     """Roll enough steps that the distributed rebin (sorted re-bin under the
     partitioner) actually triggers, and verify no particles are lost."""
