@@ -71,21 +71,36 @@ def main():
     t_reb, _ = timeit(reb_fn, b)
     print(json.dumps({"rebin_ms": round(t_reb, 2)}), flush=True)
 
-    # full step + rebin fire rate over a window
-    step_fn = jax.jit(lambda bb: pbf.simulate(params, grid, pp, bb, 10))
-    r0 = int(np.asarray(b.n_rebins))
-    t_roll, b2 = timeit(step_fn, b, reps=1)
-    r1 = int(np.asarray(b2.n_rebins))
-    print(
-        json.dumps(
-            {
-                "step_ms": round(t_roll / 10, 2),
-                "rebins_per_step": (r1 - r0) / 10,
-                "overflow": int(np.asarray(b2.overflow)),
-            }
-        ),
-        flush=True,
+    # full step + rebin fire rate over a window; proj_cap_frac is traced,
+    # so the sweep reuses one compilation. Density stats gauge the
+    # quality cost of tighter caps (harder clipping of the most violent
+    # projections).
+    step_fn = jax.jit(
+        lambda bb, pparams: pbf.simulate(params, grid, pparams, bb, 10)
     )
+    for frac in (0.5, 0.25, 1.0 / 6.0):
+        pp_f = pbf.make_pbf_params(iters=3, proj_cap_frac=frac)
+        r0 = int(np.asarray(b.n_rebins))
+        t_roll, b2 = timeit(step_fn, b, pp_f, reps=1)
+        r1 = int(np.asarray(b2.n_rebins))
+        rho = np.asarray(b2.density)[np.asarray(b2.valid)]
+        rho0 = float(np.asarray(params.rest_density))
+        print(
+            json.dumps(
+                {
+                    "proj_cap_frac": round(frac, 4),
+                    "step_ms": round(t_roll / 10, 2),
+                    "rebins_per_step": (r1 - r0) / 10,
+                    "overflow": int(np.asarray(b2.overflow)),
+                    "rho_mean_over_rho0": round(float(rho.mean()) / rho0, 4),
+                    "rho_p99_over_rho0": round(
+                        float(np.percentile(rho, 99)) / rho0, 4
+                    ),
+                    "rho_max_over_rho0": round(float(rho.max()) / rho0, 4),
+                }
+            ),
+            flush=True,
+        )
 
 
 if __name__ == "__main__":

@@ -325,11 +325,14 @@ class PbfOracle:
         rho = np.maximum(rho, 1e-6 * self.rho0)
 
         if self.use_xsph:
+            # Monaghan m_j/rho_j weighting — mirrors pbf._xsph_fold's
+            # divide-free form exactly (round-3 change from the
+            # 2 m/(rho_i+rho_j) variant).
             d, r2 = self._pairs(x)
             live = r2 < self.h * self.h
             m = np.where(live, self.mass[None, :], 0.0)
             wk = self._poly6(np.where(live, r2, np.inf))
-            xw = 2.0 * m / (rho[:, None] + rho[None, :]) * wk
+            xw = m / rho[None, :] * wk
             dv = v[None, :, :] - v[:, None, :]
             v = v + self.xsph_eps * (xw[..., None] * dv).sum(1)
             sp2 = (v * v).sum(-1, keepdims=True)

@@ -41,7 +41,7 @@ class _DensView:
     valid: jax.Array
 
 
-@pytree_dataclass(meta_fields=("iters", "use_vorticity"))
+@pytree_dataclass(meta_fields=("iters", "use_vorticity", "s_corr_n"))
 class PbfParams:
     """PBF solver knobs; FluidParams supplies h/dt/rho0/bounds/gravity."""
 
@@ -50,7 +50,11 @@ class PbfParams:
                                 # vorticity folds away entirely
     relax_eps: jax.Array        # CFM epsilon in lambda denominator
     s_corr_k: jax.Array         # artificial pressure strength
-    s_corr_n: jax.Array         # artificial pressure exponent (4.0 typical)
+    s_corr_n: int               # artificial pressure exponent (4 typical).
+                                # STATIC int: lax.integer_pow in the dx
+                                # fold instead of a per-pair pow()
+                                # transcendental (a traced exponent cost
+                                # ~25% of the fold)
     s_corr_dq: jax.Array        # reference distance as a fraction of h
     vort_eps: jax.Array         # vorticity-confinement strength epsilon
     sor: jax.Array              # under-relaxation of the Jacobi projection
@@ -60,25 +64,30 @@ class PbfParams:
                                 # fraction of the Verlet skin. Correctness
                                 # never depends on it (maybe_rebin fires
                                 # lazily on TRUE drift either way); it
-                                # controls the rebin FIRE RATE: at 0.5
+                                # controls the rebin FIRE RATE — at 0.5
                                 # every capped projection alone exceeds
                                 # the skin/2 trigger, so violent scenes
-                                # rebin before every fold (~4x/step at
-                                # 1M); at 0.25 two projections fit one
-                                # bin epoch (~2x/step measured). Only
-                                # the most violent <0.1% of projections
-                                # are clipped harder.
+                                # rebin before every fold. Measured v5e
+                                # 1M dam break (scripts/micro_pbf.py):
+                                # 0.5 -> 816 ms/step, 4.0 rebins/step,
+                                #        rho_p99 1.127 rho0
+                                # 0.25 -> 601 ms, 1.6/step, p99 1.080
+                                # 1/6 -> 546 ms, 1.0/step, p99 1.067
+                                # Tighter caps IMPROVE density error:
+                                # huge Jacobi projections overshoot, so
+                                # clipping the violent tail helps both
+                                # speed and quality. Default 1/6.
 
 
 def make_pbf_params(
     iters: int = 4,
     relax_eps: float = 100.0,
     s_corr_k: float = 0.1,
-    s_corr_n: float = 4.0,
+    s_corr_n: int = 4,
     s_corr_dq: float = 0.3,
     vort_eps: float = 0.0,
     sor: float = 0.8,
-    proj_cap_frac: float = 0.25,
+    proj_cap_frac: float = 1.0 / 6.0,
     dtype=jnp.float32,
 ) -> PbfParams:
     """``s_corr_k`` is h-relative: the effective artificial-pressure
@@ -95,7 +104,7 @@ def make_pbf_params(
         use_vorticity=bool(vort_eps > 0.0),
         relax_eps=f(relax_eps),
         s_corr_k=f(s_corr_k),
-        s_corr_n=f(s_corr_n),
+        s_corr_n=int(s_corr_n),
         s_corr_dq=f(s_corr_dq),
         vort_eps=f(vort_eps),
         sor=f(sor),
@@ -104,26 +113,31 @@ def make_pbf_params(
 
 
 def _lambda_fold(params: FluidParams, pbf: PbfParams, grid, fields):
-    """Per-particle lambda from one slab fold over predicted positions."""
+    """Per-particle lambda from one slab fold over predicted positions.
+
+    Pair-math diet (round 3 — mirrors the WCSPH fold's discipline): no
+    per-pair divide (rsqrt + multiply replaces /r), no masks (the kernel
+    cutoffs zero far pairs, d == 0 zeroes the self pair, empty slots
+    carry mass 0), and the 1/rho0 scaling is applied once in the O(S)
+    epilogue instead of per pair — the CPU oracle uses the identical
+    epilogue placement (oracle.py PbfOracle._lambda/_dx)."""
     dim, h = params.dim, params.h
-    h2 = h * h
     tiny = jnp.asarray(1e-12, params.h.dtype)
     rho0 = params.rest_density
 
     def pair(carry, hm, w):
         rho, grad_sq, grad_sum = carry
         d, r2 = _r2(dim, hm, w)
-        live = (r2 < h2) & (r2 > tiny)
-        r = jnp.sqrt(jnp.maximum(r2, tiny))
-        m_j = jnp.where(live & (w["mass"][:, None, :] > 0), w["mass"][:, None, :], 0.0)
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, tiny))
+        r = r2 * inv_r
+        m_j = w["mass"][:, None, :]
         wk = smoothing.poly6(dim, h, r2)
-        rho = rho + jnp.sum(w["mass"][:, None, :] * wk, axis=2)  # incl. self
-        # grad_i W_ij (per component, scaled by m_j / rho0)
-        gw = smoothing.spiky_grad_mag(dim, h, r) / r
-        coef = m_j * gw / rho0
+        rho = rho + jnp.sum(m_j * wk, axis=2)  # incl. self
+        gw = smoothing.spiky_grad_mag(dim, h, r) * inv_r
+        coef = m_j * gw                       # grad_i W_ij * m_j (x rho0 later)
         gs = []
         for k in range(dim):
-            g_k = coef * d[k]                         # [blk, cap, 3cap]
+            g_k = coef * d[k]                 # [blk, cap, 3cap]
             grad_sq = grad_sq + jnp.sum(g_k * g_k, axis=2)
             gs.append(jnp.sum(g_k, axis=2))
         grad_sum = tuple(a + g for a, g in zip(grad_sum, gs))
@@ -134,39 +148,49 @@ def _lambda_fold(params: FluidParams, pbf: PbfParams, grid, fields):
     zero = jnp.zeros((S,), dt)
     init = (zero, zero, tuple(zero for _ in range(dim)))
     rho, grad_sq, grad_sum = nb.slab_fold(grid, fields, pair, init)
-    # |sum grad|^2 + sum |grad|^2  (the standard CFM denominator)
+    # |sum grad|^2 + sum |grad|^2  (the standard CFM denominator), with
+    # the deferred 1/rho0^2 applied here
+    inv_rho0 = 1.0 / rho0
     denom = grad_sq
     for k in range(dim):
         denom = denom + grad_sum[k] * grad_sum[k]
+    denom = denom * (inv_rho0 * inv_rho0)
     # Unclamped constraint (Macklin & Mueller eq. 1): stretched regions
     # attract. Clamping C at 0 breaks the balance against the artificial
     # pressure and the fluid slowly inflates (observed).
-    c = rho / rho0 - 1.0
+    c = rho * inv_rho0 - 1.0
     lam = -c / (denom + pbf.relax_eps)
     return lam, rho
 
 
 def _dx_fold(params: FluidParams, pbf: PbfParams, grid, fields):
-    """Position corrections from lambdas."""
+    """Position corrections from lambdas.
+
+    Same pair-math diet as ``_lambda_fold``; additionally the artificial
+    pressure's ``(wk/w_dq)**n`` is a reciprocal-multiply plus a STATIC
+    ``lax.integer_pow`` (s_corr_n is a static int meta field) — a traced
+    exponent lowers to a per-pair pow() transcendental, the single most
+    expensive op the dx fold had."""
     dim, h = params.dim, params.h
-    h2 = h * h
     tiny = jnp.asarray(1e-12, params.h.dtype)
     rho0 = params.rest_density
     w_dq = smoothing.poly6(dim, h, (pbf.s_corr_dq * h) ** 2)
+    inv_wdq = 1.0 / w_dq
+    neg_k_h2 = -(pbf.s_corr_k * h * h)
 
     def pair(carry, hm, w):
         d, r2 = _r2(dim, hm, w)
-        live = (r2 < h2) & (r2 > tiny)
-        r = jnp.sqrt(jnp.maximum(r2, tiny))
+        inv_r = jax.lax.rsqrt(jnp.maximum(r2, tiny))
+        r = r2 * inv_r
         # dx_i = sum_j (m_j/rho0) (lam_i + lam_j + s_corr) grad_i W_ij —
         # the mass factor is REQUIRED with physical masses (the unit-mass
         # paper form blows corrections up by 1/m; observed 3D explosion).
-        m_j = jnp.where(live, w["mass"][:, None, :], 0.0)
+        m_j = w["mass"][:, None, :]
         wk = smoothing.poly6(dim, h, r2)
-        s_corr = -(pbf.s_corr_k * h * h) * (wk / w_dq) ** pbf.s_corr_n
+        s_corr = neg_k_h2 * (wk * inv_wdq) ** pbf.s_corr_n
         lam_sum = hm["lam"][:, :, None] + w["lam"][:, None, :] + s_corr
-        gw = smoothing.spiky_grad_mag(dim, h, r) / r
-        coef = m_j * lam_sum * gw / rho0
+        gw = smoothing.spiky_grad_mag(dim, h, r) * inv_r
+        coef = (m_j * lam_sum) * gw
         return tuple(
             c_k + jnp.sum(coef * d[k], axis=2) for c_k, k in zip(carry, range(dim))
         )
@@ -174,21 +198,24 @@ def _dx_fold(params: FluidParams, pbf: PbfParams, grid, fields):
     S = grid.num_slots
     zero = jnp.zeros((S,), fields["mass"].dtype)
     dxs = nb.slab_fold(grid, fields, pair, tuple(zero for _ in range(dim)))
-    return jnp.stack(dxs, axis=-1)
+    return jnp.stack(dxs, axis=-1) * (1.0 / rho0)
 
 
 def _xsph_fold(params: FluidParams, grid, pos, vel, mass, rho):
-    """XSPH velocity-smoothing sum over neighbors (planar layout)."""
+    """XSPH velocity-smoothing sum over neighbors (planar layout).
+
+    Monaghan m_j/rho_j weighting (the same form as the WCSPH engine):
+    divide-free in the pair loop — the round-2 2 m_j/(rho_i+rho_j)
+    variant cost a per-pair divide for a physically equivalent smoothing
+    weight. The CPU oracle mirrors this form (oracle.py PbfOracle.step)."""
     dim, h = params.dim, params.h
-    h2 = h * h
-    tiny = jnp.asarray(1e-12, params.h.dtype)
+
+    m_rho = mass / jnp.maximum(rho, 1e-6 * params.rest_density)
 
     def pair(carry, hm, w):
-        d, r2 = _r2(dim, hm, w)
-        live = (r2 < h2) & (r2 > tiny)
-        m_j = jnp.where(live, w["mass"][:, None, :], 0.0)
+        _, r2 = _r2(dim, hm, w)
         wk = smoothing.poly6(dim, h, r2)
-        xw = 2.0 * m_j / (hm["rho"][:, :, None] + w["rho"][:, None, :]) * wk
+        xw = w["m_rho"][:, None, :] * wk
         return tuple(
             c_k + jnp.sum(xw * (w[f"v{k}"][:, None, :] - hm[f"v{k}"][:, :, None]), axis=2)
             for c_k, k in zip(carry, range(dim))
@@ -198,7 +225,7 @@ def _xsph_fold(params: FluidParams, grid, pos, vel, mass, rho):
         **_planar("p", pos),
         **_planar("v", vel),
         "mass": mass,
-        "rho": rho,
+        "m_rho": m_rho,
     }
     zero = jnp.zeros((grid.num_slots,), pos.dtype)
     out = nb.slab_fold(grid, fields, pair, tuple(zero for _ in range(dim)))
@@ -316,7 +343,7 @@ def step(
         neighbor corrections overshoot at full step, which is the jitter
         that round 1's dynamics hid by clamping at max_speed.
       * hard-caps a single projection at proj_cap_frac * skin (default
-        skin/4): besides being a safety net for the skin bookkeeping, the
+        skin/6): besides being a safety net for the skin bookkeeping, the
         cap size sets how many projections fit one bin epoch and thus the
         rebin FIRE RATE of the checks below (see PbfParams.proj_cap_frac).
     """
