@@ -110,6 +110,20 @@ class BinnedGrid:
                                # neighbors with zero changes to the fold.
                                # Incompatible with margin_cells on the
                                # same axis (walls vs wrap).
+    window_mode: str = "concat"  # Window shape handed to pair_fn per
+                               # block (PERF.md profiles the tradeoff):
+                               # "concat" = one [blk, cap, 3cap] call
+                               #   per slab, window materialised as a
+                               #   3-slice concatenate (96 lanes pad to
+                               #   128: 33% lane waste);
+                               # "split" = 3 calls of [blk, cap, cap]
+                               #   per slab, unmaterialised slices (32
+                               #   lanes pad to 128: 4x lane waste —
+                               #   measured SLOWER, kept for A/B);
+                               # "mega" = ONE [blk, cap, 3^dim*cap]
+                               #   call per block (864 lanes pad to
+                               #   896: 3.7% waste, ~10x fewer window
+                               #   ops and pair dispatches).
     adaptive_rows: int = 0     # if 0 < a and a | cap: per-block DYNAMIC
                                # home-row bound. Each block runs a
                                # while_loop over a-row segments up to
@@ -315,19 +329,21 @@ def _bin_rows(
         pos = jnp.stack(cols, axis=-1)
     cid = _cell_ids(grid, pos, valid)
 
-    # One sort, all payloads riding with the key.
+    # One sort, all payloads riding with the key (vel only when carried —
+    # see rebin(light=...)).
+    nv = dim if vel is not None else 0
     ops = (
         (cid,)
         + tuple(pos[:, k] for k in range(dim))
-        + tuple(vel[:, k] for k in range(dim))
+        + tuple(vel[:, k] for k in range(nv))
         + (mass, owner)
     )
     sorted_ops = jax.lax.sort(ops, num_keys=1)
     scid = sorted_ops[0]
     spos = sorted_ops[1 : 1 + dim]
-    svel = sorted_ops[1 + dim : 1 + 2 * dim]
-    smass = sorted_ops[1 + 2 * dim]
-    sowner = sorted_ops[2 + 2 * dim]
+    svel = sorted_ops[1 + dim : 1 + dim + nv]
+    smass = sorted_ops[1 + dim + nv]
+    sowner = sorted_ops[2 + dim + nv]
 
     # rank within cell = i - (index of this cell's first row), where the
     # first-row index is the running max over change-point markers.
@@ -368,10 +384,14 @@ def _bin_rows(
         rows = jnp.stack(cols, axis=-1)
         dense = pallas_rebin.expand(first_cell, count, rows, grid.cap)
         pos_d = dense[:, : grid.dim]
-        vel_d = dense[:, grid.dim : 2 * grid.dim]
-        mass_d = dense[:, 2 * grid.dim]
+        vel_d = (
+            dense[:, dim : dim + nv]
+            if nv
+            else jnp.zeros((S, dim), dt)
+        )
+        mass_d = dense[:, dim + nv]
         owner_raw = jax.lax.bitcast_convert_type(
-            dense[:, 2 * grid.dim + 1], jnp.int32
+            dense[:, dim + nv + 1], jnp.int32
         )
         valid_d = mass_d > 0
         owner_d = jnp.where(valid_d, owner_raw, -1)
@@ -386,7 +406,11 @@ def _bin_rows(
             return jnp.zeros((S,), rows.dtype).at[slot].set(rows, mode="drop")
 
         pos_d = jnp.stack([scat(c) for c in spos], axis=-1)
-        vel_d = jnp.stack([scat(c) for c in svel], axis=-1)
+        vel_d = (
+            jnp.stack([scat(c) for c in svel], axis=-1)
+            if nv
+            else jnp.zeros((S, dim), dt)
+        )
         mass_d = scat(smass)
         valid_d = mass_d > 0
         owner_d = jnp.full((S,), -1, jnp.int32).at[slot].set(
@@ -532,14 +556,27 @@ def _compact(grid: BinnedGrid, b: BinnedState):
     )
 
 
-def rebin(grid: BinnedGrid, b: BinnedState) -> BinnedState:
+def rebin(grid: BinnedGrid, b: BinnedState, light: bool = False) -> BinnedState:
     """Re-sort after drift: compact-gather K rows, then re-bin. O(K log K).
 
     (The obvious alternative — re-binning the S dense slots directly — costs
     O(S) scatters over mostly-empty slots: measured 867 ms vs ~10 ms at 3D
     100k on v5e.)
+
+    ``light=True`` skips the velocity payload entirely (3 fewer sort
+    operands + 3 fewer dense scatters; the rebinned state carries zero
+    vel). PBF's mid-step rebins use this: its constraint iterations read
+    only pos/mass, and the step-start positions needed for the final
+    velocity ride a compact owner-indexed stash instead of the vel slots
+    (solvers/pbf.py).
     """
-    pos, vel, mass, alive = _compact(grid, b)
+    if light:
+        S = grid.num_slots
+        safe = jnp.clip(b.slot_of, 0, S - 1)
+        pos, mass, alive = b.pos[safe], b.mass[safe], b.slot_of < S
+        vel = None
+    else:
+        pos, vel, mass, alive = _compact(grid, b)
     owner = jnp.arange(pos.shape[0], dtype=jnp.int32)
     return _bin_rows(
         grid, pos, vel, mass, owner, alive, b.n_rebins + 1, b.sim_time
@@ -728,18 +765,60 @@ def slab_fold(
                 for k, w in win.items()
             }
 
+            def slab_windows():
+                """Per-slab window dicts for pair_fn (see window_mode)."""
+                mode = grid.window_mode
+                if mode == "mega":
+                    # One [blk, 3^dim * cap] window: every cell-column of
+                    # every slab concatenated along lanes. 27*cap = 864
+                    # lanes pad to 896 (3.7% waste) where the per-slab
+                    # [blk, r, 3*cap=96] temps pad to 128 (33% waste on
+                    # every pair op), and pair_fn dispatches once per
+                    # block instead of 3^(dim-1) times.
+                    views = []
+                    for sh in shifts:
+                        base0 = (padc + sh - 1) * cap
+                        for t in range(3):
+                            base = base0 + t * cap
+                            views.append(
+                                {
+                                    k: w[base : base + blk * cap].reshape(
+                                        (blk, cap) + tail(w)
+                                    )
+                                    for k, w in win.items()
+                                }
+                            )
+                    yield {
+                        k: jnp.concatenate([v[k] for v in views], axis=1)
+                        for k in win
+                    }
+                    return
+                for sh in shifts:
+                    base0 = (padc + sh - 1) * cap
+                    if mode == "split":
+                        for t in range(3):
+                            base = base0 + t * cap
+                            yield {
+                                k: w[base : base + blk * cap].reshape(
+                                    (blk, cap) + tail(w)
+                                )
+                                for k, w in win.items()
+                            }
+                    else:
+                        yield {
+                            k: _window_view(
+                                w[base0 : base0 + (blk + 2) * cap], blk, cap
+                            )
+                            for k, w in win.items()
+                        }
+
             def run_rows(r0, r1):
                 hm = {k: h[:, r0:r1] for k, h in home.items()}
                 carry = jax.tree.map(
                     lambda a: jnp.zeros((blk, r1 - r0) + tail(a), a.dtype),
                     init,
                 )
-                for sh in shifts:
-                    base = (padc + sh - 1) * cap
-                    slab = {
-                        k: _window_view(w[base : base + (blk + 2) * cap], blk, cap)
-                        for k, w in win.items()
-                    }
+                for slab in slab_windows():
                     carry = pair_fn(carry, hm, slab)
                 return carry
 
@@ -761,14 +840,7 @@ def slab_fold(
                         ),
                         init,
                     )
-                    for sh in shifts:
-                        base = (padc + sh - 1) * cap
-                        slab = {
-                            k: _window_view(
-                                w[base : base + (blk + 2) * cap], blk, cap
-                            )
-                            for k, w in win.items()
-                        }
+                    for slab in slab_windows():
                         cc = pair_fn(cc, hm, slab)
                     carry = jax.tree.map(
                         lambda c, d: lax.dynamic_update_slice_in_dim(

@@ -325,14 +325,15 @@ class PbfOracle:
         rho = np.maximum(rho, 1e-6 * self.rho0)
 
         if self.use_xsph:
-            # Monaghan m_j/rho_j weighting — mirrors pbf._xsph_fold's
-            # divide-free form exactly (round-3 change from the
-            # 2 m/(rho_i+rho_j) variant).
+            # m_j/rho0 weighting — mirrors pbf._density_xsph_fold's
+            # fused form exactly (round-3 change: PBF enforces
+            # rho ~ rho0, so rho_j -> rho0 on the O(eps) smoothing term
+            # lets the solver fuse XSPH into the final density fold).
             d, r2 = self._pairs(x)
             live = r2 < self.h * self.h
             m = np.where(live, self.mass[None, :], 0.0)
             wk = self._poly6(np.where(live, r2, np.inf))
-            xw = m / rho[None, :] * wk
+            xw = m / self.rho0 * wk
             dv = v[None, :, :] - v[:, None, :]
             v = v + self.xsph_eps * (xw[..., None] * dv).sum(1)
             sp2 = (v * v).sum(-1, keepdims=True)

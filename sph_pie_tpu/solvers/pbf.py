@@ -73,10 +73,17 @@ class PbfParams:
                                 #        rho_p99 1.127 rho0
                                 # 0.25 -> 601 ms, 1.6/step, p99 1.080
                                 # 1/6 -> 546 ms, 1.0/step, p99 1.067
-                                # Tighter caps IMPROVE density error:
-                                # huge Jacobi projections overshoot, so
-                                # clipping the violent tail helps both
-                                # speed and quality. Default 1/6.
+                                # Tighter caps IMPROVE density error
+                                # (huge Jacobi projections overshoot)
+                                # but SLOW violent transients: at 1/6
+                                # the column-collapse spread drops below
+                                # the 1.5h quality bar (tests/test_pbf
+                                # test_pbf_column_collapses) and a 2D
+                                # dam front at 500 steps travels half as
+                                # far (21.2h -> 10.3h). Default 0.25 =
+                                # the calibrated round-2 dynamics; 1/6
+                                # is a measured perf/density knob for
+                                # steady or gently-driven scenes.
 
 
 def make_pbf_params(
@@ -87,7 +94,7 @@ def make_pbf_params(
     s_corr_dq: float = 0.3,
     vort_eps: float = 0.0,
     sor: float = 0.8,
-    proj_cap_frac: float = 1.0 / 6.0,
+    proj_cap_frac: float = 0.25,
     dtype=jnp.float32,
 ) -> PbfParams:
     """``s_corr_k`` is h-relative: the effective artificial-pressure
@@ -201,35 +208,43 @@ def _dx_fold(params: FluidParams, pbf: PbfParams, grid, fields):
     return jnp.stack(dxs, axis=-1) * (1.0 / rho0)
 
 
-def _xsph_fold(params: FluidParams, grid, pos, vel, mass, rho):
-    """XSPH velocity-smoothing sum over neighbors (planar layout).
+def _density_xsph_fold(params: FluidParams, grid, pos, vel, mass):
+    """Fused final fold: density AND the XSPH smoothing sum in one pass.
 
-    Monaghan m_j/rho_j weighting (the same form as the WCSPH engine):
-    divide-free in the pair loop — the round-2 2 m_j/(rho_i+rho_j)
-    variant cost a per-pair divide for a physically equivalent smoothing
-    weight. The CPU oracle mirrors this form (oracle.py PbfOracle.step)."""
+    XSPH weight is m_j/rho0 (vs the round-2 Monaghan m_j/rho_j): PBF's
+    constraint projection enforces rho ~ rho0 (measured p99 1.067 rho0
+    at 1M — PbfParams.proj_cap_frac), so on a smoothing term that is
+    itself O(xsph_eps = 0.01) the substitution is physically negligible
+    — and it makes every accumulator a pure window-j sum, so the XSPH
+    pass FUSES into the density fold instead of costing its own
+    (measured 26.6 ms pallas density + 76 ms xsph fold -> one ~76 ms
+    fold at 1M). Moment form: sum_j m_j W (v_j - v_i) =
+    S1 - v_i * S0 with S0 = sum m_j W = rho (the self term cancels
+    exactly), applied in the O(S) epilogue. The CPU oracle mirrors this
+    form (oracle.py PbfOracle.step).
+
+    Returns (rho_raw, dv) where dv is the unscaled smoothing delta."""
     dim, h = params.dim, params.h
-
-    m_rho = mass / jnp.maximum(rho, 1e-6 * params.rest_density)
+    inv_rho0 = 1.0 / params.rest_density
 
     def pair(carry, hm, w):
+        rho, s1 = carry
         _, r2 = _r2(dim, hm, w)
-        wk = smoothing.poly6(dim, h, r2)
-        xw = w["m_rho"][:, None, :] * wk
-        return tuple(
-            c_k + jnp.sum(xw * (w[f"v{k}"][:, None, :] - hm[f"v{k}"][:, :, None]), axis=2)
-            for c_k, k in zip(carry, range(dim))
+        mw = w["mass"][:, None, :] * smoothing.poly6(dim, h, r2)
+        rho = rho + jnp.sum(mw, axis=2)
+        s1 = tuple(
+            s + jnp.sum(mw * w[f"v{k}"][:, None, :], axis=2)
+            for s, k in zip(s1, range(dim))
         )
+        return rho, s1
 
-    fields = {
-        **_planar("p", pos),
-        **_planar("v", vel),
-        "mass": mass,
-        "m_rho": m_rho,
-    }
+    fields = {**_planar("p", pos), **_planar("v", vel), "mass": mass}
     zero = jnp.zeros((grid.num_slots,), pos.dtype)
-    out = nb.slab_fold(grid, fields, pair, tuple(zero for _ in range(dim)))
-    return jnp.stack(out, axis=-1)
+    rho, s1 = nb.slab_fold(
+        grid, fields, pair, (zero, tuple(zero for _ in range(dim)))
+    )
+    dv = (jnp.stack(s1, axis=-1) - vel * rho[:, None]) * inv_rho0
+    return rho, dv
 
 
 def _vorticity_fold(params: FluidParams, grid, pos, vel, mass, rho):
@@ -336,9 +351,10 @@ def step(
     a projection blow-up saturating the speed clamp). This version:
 
       * runs ``maybe_rebin`` before EVERY fold, including between
-        constraint iterations. Step-start positions (needed for the final
-        velocity update after slots permute in a mid-step rebin) ride the
-        ``vel`` field, which the iterations don't otherwise read.
+        constraint iterations. Mid-step rebins are ``light=True`` (no
+        velocity payload — the iterations read only pos/mass); step-start
+        positions, needed for the final velocity update after slots
+        permute, live in a compact owner-indexed stash instead.
       * under-relaxes the Jacobi projection (``pbf.sor``) — simultaneous
         neighbor corrections overshoot at full step, which is the jitter
         that round 1's dynamics hid by clamping at max_speed.
@@ -386,19 +402,23 @@ def step(
     def max_norm(v):
         return jnp.sqrt(jnp.maximum(jnp.max(jnp.sum(v * v, -1)), 0.0))
 
-    # Stash step-start positions in the vel slot so they survive mid-step
-    # rebins (rebin re-sorts all payload columns together).
+    # Stash step-start positions in a COMPACT owner-indexed array: it is
+    # invariant under rebinning (slots permute, owners don't), which lets
+    # every mid-step rebin run light=True — no velocity payload to sort
+    # or scatter (3 fewer sort operands + 3 fewer scatters per rebin; the
+    # round-2 scheme rode pos0 in the vel slots and paid full rebins).
+    S = grid.num_slots
+    pos0c = b.pos[jnp.clip(b.slot_of, 0, S - 1)]  # [K, dim], compact
     b = replace(
         b,
         pos=x_star,
-        vel=jnp.where(valid, b.pos, 0.0),
         travel=b.travel + max_norm(x_star - b.pos),
     )
 
     proj_cap = pbf.proj_cap_frac * grid.skin
 
     def iter_body(_, bb):
-        bb = maybe_rebin(grid, bb)
+        bb = maybe_rebin(grid, bb, light=True)
         if periodic:
             bb = nb.wrap_ghosts(grid, bb)
         v = fmask(bb)
@@ -417,12 +437,16 @@ def step(
         )
 
     b = lax.fori_loop(0, pbf.iters, iter_body, b)
-    b = maybe_rebin(grid, b)
+    b = maybe_rebin(grid, b, light=True)
     if periodic:
         b = nb.wrap_ghosts(grid, b)
     valid = fmask(b)
     x_star = b.pos
-    pos0 = b.vel  # step-start positions stashed above
+    # Recover step-start positions per slot from the compact stash. Ghost
+    # slots (periodic) gather the UNOFFSET source origin — their raw disp
+    # is off by +-L, exactly what the min-image fold below corrects.
+    K = pos0c.shape[0]
+    pos0 = pos0c[jnp.clip(b.owner, 0, K - 1)]
 
     disp = x_star - pos0
     if periodic:
@@ -445,34 +469,49 @@ def step(
     new_vel = jnp.where(valid, disp / params.dt, 0.0)
     new_vel = clamp_speed(params, new_vel)
 
-    # Final density (diagnostics/rendering + XSPH/vorticity weights):
-    # a density-ONLY fold — the round-2 version ran the full lambda fold
-    # here, accumulating 4 gradient planes nobody reads (lambda fold
-    # 75 ms vs density fold ~41 ms at 1M; scripts/micro_pbf.py).
-    from sph_pie_tpu.solvers import wcsph_binned as _wb
-
-    rho = _wb._density(params, grid, _DensView(x_star, b.mass, b.valid))
-    rho = jnp.maximum(rho, 1e-6 * params.rest_density)  # safe 1/rho everywhere
-
-    if pbf.use_vorticity:
-        # Vorticity confinement (Macklin & Mueller 2013 section 5) —
-        # computed on the projected positions/velocities, applied as an
-        # acceleration before XSPH so the smoothing also regularises it.
-        omega = _vorticity_fold(params, grid, x_star, new_vel, b.mass, rho)
-        f_vort = _vorticity_force(params, grid, x_star, b.mass, rho, omega)
-        new_vel = new_vel + (pbf.vort_eps * params.dt) * jnp.where(
-            valid, f_vort, 0.0
+    # Final fold (diagnostics/rendering density + XSPH weights). The
+    # round-2 version ran the full lambda fold here (4 unread gradient
+    # planes, 75 ms); round 3 first cut it to density-only (~41 ms),
+    # then fused the XSPH pass in (_density_xsph_fold) so the common
+    # xsph-no-vorticity config pays ONE fold for both.
+    if params.use_xsph and not pbf.use_vorticity:
+        rho, dv = _density_xsph_fold(params, grid, x_star, new_vel, b.mass)
+        rho = jnp.maximum(
+            jnp.where(b.valid, rho, 0.0), 1e-6 * params.rest_density
         )
+        new_vel = new_vel + params.xsph_eps * jnp.where(valid, dv, 0.0)
         new_vel = jnp.where(valid, clamp_speed(params, new_vel), 0.0)
+    else:
+        from sph_pie_tpu.solvers import wcsph_binned as _wb
 
-    if params.use_xsph:
-        # XSPH velocity smoothing — "important for coherent motion"
-        # (Macklin & Mueller 2013 section 4); damps the energy the
-        # constraint projection injects.
-        new_vel = new_vel + params.xsph_eps * _xsph_fold(
-            params, grid, x_star, new_vel, b.mass, rho
-        )
-        new_vel = jnp.where(valid, clamp_speed(params, new_vel), 0.0)
+        rho = _wb._density(params, grid, _DensView(x_star, b.mass, b.valid))
+        rho = jnp.maximum(rho, 1e-6 * params.rest_density)
+
+        if pbf.use_vorticity:
+            # Vorticity confinement (Macklin & Mueller 2013 section 5) —
+            # computed on the projected positions/velocities, applied as
+            # an acceleration before XSPH so the smoothing also
+            # regularises it.
+            omega = _vorticity_fold(
+                params, grid, x_star, new_vel, b.mass, rho
+            )
+            f_vort = _vorticity_force(
+                params, grid, x_star, b.mass, rho, omega
+            )
+            new_vel = new_vel + (pbf.vort_eps * params.dt) * jnp.where(
+                valid, f_vort, 0.0
+            )
+            new_vel = jnp.where(valid, clamp_speed(params, new_vel), 0.0)
+
+        if params.use_xsph:
+            # Post-vorticity smoothing: same fused fold, rho recomputed
+            # for free inside it (the vorticity folds needed rho first,
+            # so there is no single-fold schedule here).
+            _, dv = _density_xsph_fold(
+                params, grid, x_star, new_vel, b.mass
+            )
+            new_vel = new_vel + params.xsph_eps * jnp.where(valid, dv, 0.0)
+            new_vel = jnp.where(valid, clamp_speed(params, new_vel), 0.0)
 
     return replace(
         b, vel=new_vel, density=rho, sim_time=b.sim_time + params.dt

@@ -313,7 +313,9 @@ def _forces(
     return jnp.stack(acc, axis=-1), jnp.stack(xsph, axis=-1)
 
 
-def maybe_rebin(grid: nb.BinnedGrid, b: nb.BinnedState) -> nb.BinnedState:
+def maybe_rebin(
+    grid: nb.BinnedGrid, b: nb.BinnedState, light: bool = False
+) -> nb.BinnedState:
     """Two-stage lazy rebin trigger.
 
     ``travel`` (sum of per-step max displacement bounds) is cheap but very
@@ -334,7 +336,7 @@ def maybe_rebin(grid: nb.BinnedGrid, b: nb.BinnedState) -> nb.BinnedState:
         d = jnp.sqrt(jnp.max(d2))
         return lax.cond(
             d > thr,
-            lambda y: nb.rebin(grid, y),
+            lambda y: nb.rebin(grid, y, light=light),
             lambda y: replace(y, travel=d),
             x,
         )

@@ -192,3 +192,48 @@ def test_adaptive_rows_fold_matches_static():
             np.abs(np.asarray(xs_a) - np.asarray(xs_s))[valid].max() / xscale
             < 1e-6
         )
+
+
+def test_window_modes_match_concat():
+    """window_mode split/mega == concat (same pairs, different window
+    shapes handed to pair_fn; PERF.md lever 1). Pallas kernels are forced
+    off so all three run the XLA slab fold."""
+    import dataclasses
+
+    from sph_pie_tpu.kernels import eos
+    from sph_pie_tpu.scenes import dam_break_2d, dam_break_3d
+    from sph_pie_tpu.solvers import wcsph_binned
+    from sph_pie_tpu.utils.struct import replace as srep
+
+    for scene in (dam_break_2d(n_target=900), dam_break_3d(n_target=2000)):
+        grids = {
+            m: dataclasses.replace(
+                scene.bgrid, window_mode=m, pair_kernel="fold"
+            )
+            for m in ("concat", "split", "mega")
+        }
+        b = scene.binned_state()
+        b = wcsph_binned.simulate(scene.params, grids["concat"], b, 20)
+        valid = np.asarray(b.valid)
+
+        rho = {
+            m: np.asarray(wcsph_binned._density(scene.params, g, b))
+            for m, g in grids.items()
+        }
+        b2 = srep(
+            b,
+            density=jnp.asarray(rho["concat"]),
+            pressure=eos.tait_pressure(scene.params, jnp.asarray(rho["concat"])),
+        )
+        acc = {
+            m: np.asarray(wcsph_binned._forces(scene.params, g, b2)[0])
+            for m, g in grids.items()
+        }
+        scale = float(np.abs(acc["concat"][valid]).max()) or 1.0
+        for m in ("split", "mega"):
+            np.testing.assert_allclose(
+                rho[m][valid], rho["concat"][valid], rtol=1e-6
+            )
+            assert (
+                np.abs(acc[m] - acc["concat"])[valid].max() / scale < 1e-6
+            ), m
