@@ -50,6 +50,7 @@ def test_balanced_splits_synthetic():
     assert total == counts.sum()
 
 
+@pytest.mark.heavy
 def test_balanced_step_matches_single_device(mesh):
     scene = dam_break_2d(n_target=1200)
     g = dataclasses.replace(scene.bgrid, symmetric_fold=False)

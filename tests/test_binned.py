@@ -194,6 +194,7 @@ def test_adaptive_rows_fold_matches_static():
         )
 
 
+@pytest.mark.heavy
 def test_window_modes_match_concat():
     """window_mode split/mega == concat (same pairs, different window
     shapes handed to pair_fn; PERF.md lever 1). Pallas kernels are forced

@@ -10,6 +10,7 @@ from sph_pie_tpu.neighbors import binned as nb
 from sph_pie_tpu.utils import checkpoint as ckpt
 
 
+@pytest.mark.heavy
 def test_checkpoint_roundtrip_resumes_identically(tmp_path):
     scene = dam_break_2d(n_target=300)
     b = wcsph_binned.simulate(scene.params, scene.bgrid, scene.binned_state(), 50)

@@ -36,6 +36,7 @@ def test_grid_divisibility_guard():
             halo.make_halo_step(mesh, scene.params, scene.bgrid)
 
 
+@pytest.mark.heavy
 def test_halo_step_matches_single_device():
     scene = _scene8()
     assert scene.bgrid.num_cells % 8 == 0
@@ -56,6 +57,7 @@ def test_halo_step_matches_single_device():
     )
 
 
+@pytest.mark.heavy
 def test_halo_run_with_rebin_preserves_particles():
     scene = _scene8()
     mesh = sharding.make_mesh(8)

@@ -22,8 +22,8 @@ def _scene(make):
     return scene, g, b
 
 
-@pytest.mark.parametrize("make", ["dam_break_2d",
-    pytest.param("dam_break_3d", marks=pytest.mark.heavy)])
+@pytest.mark.heavy
+@pytest.mark.parametrize("make", ["dam_break_2d", "dam_break_3d"])
 def test_density_kernel_matches_fold(make):
     from sph_pie_tpu.neighbors import pallas_pair
     from sph_pie_tpu.solvers import wcsph_binned
@@ -37,8 +37,8 @@ def test_density_kernel_matches_fold(make):
     np.testing.assert_allclose(rho_pal[valid], rho_ref[valid], rtol=3e-6)
 
 
-@pytest.mark.parametrize("make", ["dam_break_2d",
-    pytest.param("dam_break_3d", marks=pytest.mark.heavy)])
+@pytest.mark.heavy
+@pytest.mark.parametrize("make", ["dam_break_2d", "dam_break_3d"])
 def test_forces_kernel_matches_fold(make):
     from sph_pie_tpu.kernels import eos
     from sph_pie_tpu.neighbors import pallas_pair

@@ -6,6 +6,7 @@ the tests build lattices that fill that effective box exactly.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from sph_pie_tpu.core import state as state_lib
@@ -94,6 +95,7 @@ def test_periodic_step_conserves_and_wraps():
         assert p[:, ax].min() > -L and p[:, ax].max() < 2 * L
 
 
+@pytest.mark.heavy
 def test_periodic_pbf_drifts_and_wraps():
     """PBF in a fully periodic box: drifting flow stays finite, keeps all
     particles, and densities stay near rest (constraint active through

@@ -64,6 +64,7 @@ def test_emit_due_activates_on_schedule():
     assert np.asarray(st3.pos)[2, 0] == np.float32(0.3)
 
 
+@pytest.mark.heavy
 def test_emitter_scene_runs_and_fills():
     scene = builders.emitter_2d(n_target=512)
     st, overflow = run_lib.run_scene(scene, n_steps=400, epoch_steps=50)
@@ -176,6 +177,7 @@ def test_moving_obstacle_oracle_parity():
         assert err < 1e-6, f"moving-obstacle drift vs oracle: {err}"
 
 
+@pytest.mark.heavy
 def test_stirrer_adds_energy_binned():
     """An oscillating sphere in settled fluid pumps kinetic energy into it
     (relative-velocity damper drags fluid); a static sphere does not."""

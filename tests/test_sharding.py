@@ -20,6 +20,7 @@ def _scene():
     return builders.dam_break_2d(n_target=1024, viscosity=0.05)
 
 
+@pytest.mark.heavy
 def test_sharded_step_matches_single_device():
     scene = _scene()
     mesh = sharding.make_mesh(8)
