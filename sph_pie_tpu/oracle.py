@@ -243,6 +243,10 @@ class PbfOracle:
         self.vel = np.array(vel, dtype)
         self.mass = np.array(mass, dtype)
         self.dtype = dtype
+        # Previous step's final density — the Monaghan XSPH weight source
+        # (engine: pbf.step's rho_prev_c stash). None = virgin (rest
+        # density fallback), matching the engine's density-0 slots.
+        self._rho_prev = None
 
     def _poly6(self, r2):
         h = self.h
@@ -325,21 +329,27 @@ class PbfOracle:
         rho = np.maximum(rho, 1e-6 * self.rho0)
 
         if self.use_xsph:
-            # m_j/rho0 weighting — mirrors pbf._density_xsph_fold's
-            # fused form exactly (round-3 change: PBF enforces
-            # rho ~ rho0, so rho_j -> rho0 on the O(eps) smoothing term
-            # lets the solver fuse XSPH into the final density fold).
+            # Monaghan m_j/rho_j with rho_j from the PREVIOUS step's final
+            # density (rest density on the first step) — mirrors
+            # pbf._density_xsph_fold's fused form and staleness exactly.
+            rp = (
+                np.full((len(self.mass),), self.rho0, self.dtype)
+                if self._rho_prev is None
+                else self._rho_prev
+            )
+            rho_eff = np.where(rp > 0, rp, self.rho0)
             d, r2 = self._pairs(x)
             live = r2 < self.h * self.h
             m = np.where(live, self.mass[None, :], 0.0)
             wk = self._poly6(np.where(live, r2, np.inf))
-            xw = m / self.rho0 * wk
+            xw = m / rho_eff[None, :] * wk
             dv = v[None, :, :] - v[:, None, :]
             v = v + self.xsph_eps * (xw[..., None] * dv).sum(1)
             sp2 = (v * v).sum(-1, keepdims=True)
             v = v * np.where(sp2 > self.vcap**2, self.vcap / np.sqrt(sp2), 1.0)
 
         self.pos, self.vel, self.density = x, v, rho
+        self._rho_prev = rho
 
     def run(self, n_steps: int):
         for _ in range(n_steps):

@@ -75,15 +75,18 @@ class PbfParams:
                                 # 1/6 -> 546 ms, 1.0/step, p99 1.067
                                 # Tighter caps IMPROVE density error
                                 # (huge Jacobi projections overshoot)
-                                # but SLOW violent transients: at 1/6
-                                # the column-collapse spread drops below
-                                # the 1.5h quality bar (tests/test_pbf
-                                # test_pbf_column_collapses) and a 2D
-                                # dam front at 500 steps travels half as
-                                # far (21.2h -> 10.3h). Default 0.25 =
-                                # the calibrated round-2 dynamics; 1/6
-                                # is a measured perf/density knob for
-                                # steady or gently-driven scenes.
+                                # but SLOW violent transients. Sweep of
+                                # the 2D column-collapse spread at 500
+                                # steps vs the 1.5h quality bar
+                                # (tests/test_pbf
+                                # test_pbf_column_collapses):
+                                # 0.5 -> 1.58h, 0.375 -> 2.49h,
+                                # 0.3 -> 1.55h, 0.25 -> 1.33h FAIL,
+                                # 1/6 -> 1.38h FAIL. Default 0.3 = the
+                                # tightest sweep point passing the bar;
+                                # 1/6 remains a measured perf/density
+                                # knob for steady or gently-driven
+                                # scenes.
 
 
 def make_pbf_params(
@@ -94,7 +97,7 @@ def make_pbf_params(
     s_corr_dq: float = 0.3,
     vort_eps: float = 0.0,
     sor: float = 0.8,
-    proj_cap_frac: float = 0.25,
+    proj_cap_frac: float = 0.3,
     dtype=jnp.float32,
 ) -> PbfParams:
     """``s_corr_k`` is h-relative: the effective artificial-pressure
@@ -208,42 +211,52 @@ def _dx_fold(params: FluidParams, pbf: PbfParams, grid, fields):
     return jnp.stack(dxs, axis=-1) * (1.0 / rho0)
 
 
-def _density_xsph_fold(params: FluidParams, grid, pos, vel, mass):
+def _density_xsph_fold(params: FluidParams, grid, pos, vel, mass, m_rho):
     """Fused final fold: density AND the XSPH smoothing sum in one pass.
 
-    XSPH weight is m_j/rho0 (vs the round-2 Monaghan m_j/rho_j): PBF's
-    constraint projection enforces rho ~ rho0 (measured p99 1.067 rho0
-    at 1M — PbfParams.proj_cap_frac), so on a smoothing term that is
-    itself O(xsph_eps = 0.01) the substitution is physically negligible
-    — and it makes every accumulator a pure window-j sum, so the XSPH
-    pass FUSES into the density fold instead of costing its own
-    (measured 26.6 ms pallas density + 76 ms xsph fold -> one ~76 ms
-    fold at 1M). Moment form: sum_j m_j W (v_j - v_i) =
-    S1 - v_i * S0 with S0 = sum m_j W = rho (the self term cancels
-    exactly), applied in the O(S) epilogue. The CPU oracle mirrors this
-    form (oracle.py PbfOracle.step).
+    ``m_rho`` is the per-slot Monaghan weight m_j/rho_j with rho_j taken
+    from the PREVIOUS step's final density (positions do not move between
+    a step's final fold and the next step's start, so that density is
+    exact at step-start positions; on a smoothing term that is itself
+    O(xsph_eps) the one-substep staleness is negligible — while the
+    round-3 first cut's rho_j -> rho0 substitution measurably weakened
+    free-surface smoothing: 2D column-collapse spread 1.33h vs the 1.5h
+    quality bar). Being a per-particle plane, the weight keeps every
+    accumulator a pure window-j sum, so the XSPH pass fuses into the
+    density fold instead of costing its own (one ~76 ms fold at 1M vs
+    41 + 76 separate). Moment form: sum_j w_j W (v_j - v_i) =
+    S1 - v_i * S0 with S0 = sum w_j W (the self term cancels exactly),
+    applied in the O(S) epilogue. The CPU oracle mirrors this form and
+    the staleness (oracle.py PbfOracle._rho_prev).
 
     Returns (rho_raw, dv) where dv is the unscaled smoothing delta."""
     dim, h = params.dim, params.h
-    inv_rho0 = 1.0 / params.rest_density
 
     def pair(carry, hm, w):
-        rho, s1 = carry
+        rho, s0, s1 = carry
         _, r2 = _r2(dim, hm, w)
-        mw = w["mass"][:, None, :] * smoothing.poly6(dim, h, r2)
+        wk = smoothing.poly6(dim, h, r2)
+        mw = w["mass"][:, None, :] * wk
+        ww = w["m_rho"][:, None, :] * wk
         rho = rho + jnp.sum(mw, axis=2)
+        s0 = s0 + jnp.sum(ww, axis=2)
         s1 = tuple(
-            s + jnp.sum(mw * w[f"v{k}"][:, None, :], axis=2)
+            s + jnp.sum(ww * w[f"v{k}"][:, None, :], axis=2)
             for s, k in zip(s1, range(dim))
         )
-        return rho, s1
+        return rho, s0, s1
 
-    fields = {**_planar("p", pos), **_planar("v", vel), "mass": mass}
+    fields = {
+        **_planar("p", pos),
+        **_planar("v", vel),
+        "mass": mass,
+        "m_rho": m_rho,
+    }
     zero = jnp.zeros((grid.num_slots,), pos.dtype)
-    rho, s1 = nb.slab_fold(
-        grid, fields, pair, (zero, tuple(zero for _ in range(dim)))
+    rho, s0, s1 = nb.slab_fold(
+        grid, fields, pair, (zero, zero, tuple(zero for _ in range(dim)))
     )
-    dv = (jnp.stack(s1, axis=-1) - vel * rho[:, None]) * inv_rho0
+    dv = jnp.stack(s1, axis=-1) - vel * s0[:, None]
     return rho, dv
 
 
@@ -363,6 +376,18 @@ def step(
         cap size sets how many projections fit one bin epoch and thus the
         rebin FIRE RATE of the checks below (see PbfParams.proj_cap_frac).
     """
+    # Compact owner-indexed stashes, taken BEFORE the entry rebin: compact
+    # gathers are invariant under rebinning (slots permute, owners don't),
+    # but a fired rebin rebuilds slots with density=0, so the previous
+    # step's final density must be captured first.
+    S = grid.num_slots
+    safe_slot = jnp.clip(b.slot_of, 0, S - 1)
+    pos0c = b.pos[safe_slot]  # [K, dim] step-start positions
+    # Previous-step final density — the Monaghan XSPH weight for the
+    # final fused fold (see _density_xsph_fold). Virgin particles (first
+    # step, fresh emitter rows) carry density 0 -> rest-density fallback.
+    rho_prev_c = b.density[safe_slot]
+
     b = maybe_rebin(grid, b)
     periodic = any(grid.periodic)
     if periodic:
@@ -402,13 +427,10 @@ def step(
     def max_norm(v):
         return jnp.sqrt(jnp.maximum(jnp.max(jnp.sum(v * v, -1)), 0.0))
 
-    # Stash step-start positions in a COMPACT owner-indexed array: it is
-    # invariant under rebinning (slots permute, owners don't), which lets
-    # every mid-step rebin run light=True — no velocity payload to sort
-    # or scatter (3 fewer sort operands + 3 fewer scatters per rebin; the
-    # round-2 scheme rode pos0 in the vel slots and paid full rebins).
-    S = grid.num_slots
-    pos0c = b.pos[jnp.clip(b.slot_of, 0, S - 1)]  # [K, dim], compact
+    # (pos0c/rho_prev_c stashed at the top of step; mid-step rebins run
+    # light=True — no velocity payload to sort or scatter, 3 fewer sort
+    # operands + 3 fewer scatters per rebin vs the round-2 scheme that
+    # rode pos0 in the vel slots and paid full rebins.)
     b = replace(
         b,
         pos=x_star,
@@ -448,6 +470,14 @@ def step(
     K = pos0c.shape[0]
     pos0 = pos0c[jnp.clip(b.owner, 0, K - 1)]
 
+    # Monaghan XSPH weight plane from the previous step's density (rest
+    # density for virgin rows); ghost slots inherit their source's weight
+    # through the owner gather.
+    rho_prev = rho_prev_c[jnp.clip(b.owner, 0, K - 1)]
+    m_rho = b.mass / jnp.where(
+        rho_prev > 0, rho_prev, params.rest_density
+    )
+
     disp = x_star - pos0
     if periodic:
         # Minimum-image the displacement: mid-step rebins fold seam-crossing
@@ -475,7 +505,9 @@ def step(
     # then fused the XSPH pass in (_density_xsph_fold) so the common
     # xsph-no-vorticity config pays ONE fold for both.
     if params.use_xsph and not pbf.use_vorticity:
-        rho, dv = _density_xsph_fold(params, grid, x_star, new_vel, b.mass)
+        rho, dv = _density_xsph_fold(
+            params, grid, x_star, new_vel, b.mass, m_rho
+        )
         rho = jnp.maximum(
             jnp.where(b.valid, rho, 0.0), 1e-6 * params.rest_density
         )
@@ -508,7 +540,7 @@ def step(
             # for free inside it (the vorticity folds needed rho first,
             # so there is no single-fold schedule here).
             _, dv = _density_xsph_fold(
-                params, grid, x_star, new_vel, b.mass
+                params, grid, x_star, new_vel, b.mass, m_rho
             )
             new_vel = new_vel + params.xsph_eps * jnp.where(valid, dv, 0.0)
             new_vel = jnp.where(valid, clamp_speed(params, new_vel), 0.0)
