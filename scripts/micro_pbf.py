@@ -63,7 +63,8 @@ def main():
     print(json.dumps({"dx_fold_ms": round(t_dx, 2)}), flush=True)
 
     xs_fn = jax.jit(lambda bb: pbf._density_xsph_fold(
-        params, grid, bb.pos, bb.vel, bb.mass))
+        params, grid, bb.pos, bb.vel, bb.mass,
+        bb.mass / params.rest_density))
     t_xs, _ = timeit(xs_fn, b)
     print(json.dumps({"density_xsph_fold_ms": round(t_xs, 2)}), flush=True)
 
@@ -78,7 +79,7 @@ def main():
     step_fn = jax.jit(
         lambda bb, pparams: pbf.simulate(params, grid, pparams, bb, 10)
     )
-    for frac in (0.5, 0.25, 1.0 / 6.0):
+    for frac in (0.5, 0.3, 0.25):
         pp_f = pbf.make_pbf_params(iters=3, proj_cap_frac=frac)
         r0 = int(np.asarray(b.n_rebins))
         t_roll, b2 = timeit(step_fn, b, pp_f, reps=1)

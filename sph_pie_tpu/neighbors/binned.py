@@ -747,6 +747,24 @@ def slab_fold(
             # holds more than `tier` particles (counting-sort rank order)
             blk_hi = jnp.any(occ3[:, :, tier:], axis=(1, 2))
 
+    # Scalar zero carrying the fold data's shard_map varying axes (vma):
+    # under a manual mesh (parallel/halo.py) lax.cond requires branch
+    # outputs to agree on varying axes, but a skipped-block branch's fresh
+    # zeros are unvaried while compute's output varies with the shard —
+    # and accumulator components pair_fn never touches stay unvaried even
+    # in compute. ``vcast`` promotes every leaf with a data-derived 0 at
+    # each join; outside shard_map it is a zero add XLA fuses away.
+    _vsrc = jnp.ravel(next(iter(padded.values())))[0]
+    vz0 = _vsrc * jnp.zeros((), _vsrc.dtype)
+
+    def vcast(t):
+        return jax.tree.map(
+            lambda c: c | (vz0 != 0)
+            if c.dtype == jnp.bool_
+            else c + vz0.astype(c.dtype),
+            t,
+        )
+
     def body(_, b):
         zero = jax.tree.map(
             lambda a: jnp.zeros((blk, cap) + tail(a), a.dtype), init
@@ -854,7 +872,7 @@ def slab_fold(
                 _, carry = lax.while_loop(
                     lambda st: st[0] < blk_nseg[b],
                     seg_body,
-                    (jnp.int32(0), zero),
+                    (jnp.int32(0), vcast(zero)),
                 )
                 return carry
 
@@ -863,12 +881,14 @@ def slab_fold(
             if tier:
                 hi = lax.cond(
                     blk_hi[b],
-                    lambda _: run_rows(tier, cap),
-                    lambda _: jax.tree.map(
-                        lambda a: jnp.zeros(
-                            (blk, cap - tier) + tail(a), a.dtype
-                        ),
-                        init,
+                    lambda _: vcast(run_rows(tier, cap)),
+                    lambda _: vcast(
+                        jax.tree.map(
+                            lambda a: jnp.zeros(
+                                (blk, cap - tier) + tail(a), a.dtype
+                            ),
+                            init,
+                        )
                     ),
                     None,
                 )
@@ -878,7 +898,12 @@ def slab_fold(
             return carry
 
         if use_skip:
-            carry = lax.cond(blk_occ[b], compute, lambda _: zero, None)
+            carry = lax.cond(
+                blk_occ[b],
+                lambda _: vcast(compute(None)),
+                lambda _: vcast(zero),
+                None,
+            )
         else:
             carry = compute(None)
         return None, carry

@@ -23,9 +23,11 @@ def test_entry_compiles_single_device():
 
 @pytest.mark.heavy
 def test_dryrun_multichip_with_initialized_backend():
-    # The test session has a live 8-device CPU backend (conftest), so this
-    # exercises the detection logic; with >= n devices available it may run
-    # in-process or via subprocess — either way it must succeed.
+    # Force-initialize the 8-device CPU backend (order-independent: when
+    # this file runs alone, no earlier test has touched a device yet) so
+    # this exercises the detection logic; with >= n devices available it
+    # may run in-process or via subprocess — either way it must succeed.
+    jax.devices()
     assert _jax_backend_initialized()
     dryrun_multichip(4)
 
