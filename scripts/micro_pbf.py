@@ -72,6 +72,10 @@ def main():
     t_reb, _ = timeit(reb_fn, b)
     print(json.dumps({"rebin_ms": round(t_reb, 2)}), flush=True)
 
+    rebl_fn = jax.jit(lambda bb: nb.rebin(grid, bb, light=True))
+    t_rebl, _ = timeit(rebl_fn, b)
+    print(json.dumps({"rebin_light_ms": round(t_rebl, 2)}), flush=True)
+
     # full step + rebin fire rate over a window; proj_cap_frac is traced,
     # so the sweep reuses one compilation. Density stats gauge the
     # quality cost of tighter caps (harder clipping of the most violent
