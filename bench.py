@@ -152,6 +152,11 @@ def _measure_emitter(n_steps=500):
     for _ in range(3):
         t0 = time.time()
         st, overflow = run_lib.run_scene(scene, n_steps)
+        # Scalar readback INSIDE the timed region: through the axon
+        # tunnel block_until_ready can return before device completion
+        # (see _sync), and without a fence the wall time is dispatch-only
+        # (observed: 500 steps "in" 1.1 ms).
+        float(np.asarray(st.pos).ravel()[0])
         walls.append(time.time() - t0)
     n_final = int(np.asarray(st.active).sum())
     med = statistics.median(walls)
