@@ -184,7 +184,7 @@ def _measure_pbf(n=100_000, steps=20, reps=3, render=False):
     from sph_pie_tpu.solvers import pbf
 
     scene = dam_break_3d(n)
-    pp = pbf.make_pbf_params(iters=3)
+    pp = pbf.flagship_params()
     grid = scene.bgrid
 
     if render:
@@ -239,6 +239,9 @@ def main() -> int:
     extra["dam_break_2d_4k"] = _measure(dam_break_2d(4096), 200, 1000)
     for key, fn in (
         ("emitter_2d_4k", _measure_emitter),
+        # BASELINE config #3: 3D dam break at 100k with the cohesion /
+        # surface-tension term (dam_break_3d defaults surface_tension=0.25)
+        ("dam_break_3d_100k_st", lambda: _measure(dam_break_3d(100_000), 5, 20)),
         ("pbf_3d_100k", _measure_pbf),
         # BASELINE config #4 as written: PBF at 1M, with and without the
         # on-device splat render inside the timed loop

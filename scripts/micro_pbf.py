@@ -84,7 +84,7 @@ def main():
         lambda bb, pparams: pbf.simulate(params, grid, pparams, bb, 10)
     )
     for frac in (0.5, 0.3, 0.25):
-        pp_f = pbf.make_pbf_params(iters=3, proj_cap_frac=frac)
+        pp_f = pbf.make_pbf_params(iters=3, proj_cap_h=frac * 0.25)
         r0 = int(np.asarray(b.n_rebins))
         t_roll, b2 = timeit(step_fn, b, pp_f, reps=1)
         r1 = int(np.asarray(b2.n_rebins))

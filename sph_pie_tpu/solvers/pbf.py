@@ -60,33 +60,38 @@ class PbfParams:
     sor: jax.Array              # under-relaxation of the Jacobi projection
                                 # (1.0 = raw; ~0.5 kills the overshoot
                                 # jitter of simultaneous corrections)
-    proj_cap_frac: jax.Array    # per-iteration projection cap as a
-                                # fraction of the Verlet skin. Correctness
-                                # never depends on it (maybe_rebin fires
-                                # lazily on TRUE drift either way); it
-                                # controls the rebin FIRE RATE — at 0.5
-                                # every capped projection alone exceeds
-                                # the skin/2 trigger, so violent scenes
-                                # rebin before every fold. Measured v5e
-                                # 1M dam break (scripts/micro_pbf.py):
-                                # 0.5 -> 816 ms/step, 4.0 rebins/step,
-                                #        rho_p99 1.127 rho0
-                                # 0.25 -> 601 ms, 1.6/step, p99 1.080
-                                # 1/6 -> 546 ms, 1.0/step, p99 1.067
+    proj_cap_h: jax.Array       # per-iteration projection cap as a
+                                # fraction of the smoothing length h — a
+                                # PHYSICAL knob, deliberately decoupled
+                                # from the grid skin so quality
+                                # calibrations survive grid-geometry
+                                # sweeps (the applied cap is
+                                # min(proj_cap_h*h, skin/2); the skin/2
+                                # clamp preserves the bin-epoch
+                                # bookkeeping). Correctness never depends
+                                # on it (maybe_rebin fires lazily on TRUE
+                                # drift either way); it controls the
+                                # rebin FIRE RATE. Measured v5e 1M dam
+                                # break at skin 0.25h, where proj_cap_h =
+                                # 0.25 * old skin-frac (micro_pbf.py):
+                                # 0.125 -> 816 ms/step, 4.0 rebins/step,
+                                #          rho_p99 1.127 rho0
+                                # 0.0625 -> 601 ms, 1.6/step, p99 1.080
+                                # 1/24 -> 546 ms, 1.0/step, p99 1.067
                                 # Tighter caps IMPROVE density error
                                 # (huge Jacobi projections overshoot)
                                 # but SLOW violent transients. Sweep of
                                 # the 2D column-collapse spread at 500
                                 # steps vs the 1.5h quality bar
                                 # (tests/test_pbf
-                                # test_pbf_column_collapses):
-                                # 0.5 -> 1.58h, 0.375 -> 2.49h,
-                                # 0.3 -> 1.55h, 0.25 -> 1.33h FAIL,
-                                # 1/6 -> 1.38h FAIL. Default 0.3 = the
+                                # test_pbf_column_collapses), iters=3:
+                                # 0.125 -> 1.58h, 0.094 -> 2.49h,
+                                # 0.075 -> 1.55h, 0.0625 -> 1.33h FAIL,
+                                # 1/24 -> 1.38h FAIL. Default 0.075 = the
                                 # tightest sweep point passing the bar;
-                                # 1/6 remains a measured perf/density
-                                # knob for steady or gently-driven
-                                # scenes.
+                                # at the flagship (iters=2, sor=0.9)
+                                # 0.0625 passes every bar (see
+                                # flagship_params).
 
 
 def make_pbf_params(
@@ -97,7 +102,7 @@ def make_pbf_params(
     s_corr_dq: float = 0.3,
     vort_eps: float = 0.0,
     sor: float = 0.8,
-    proj_cap_frac: float = 0.3,
+    proj_cap_h: float = 0.075,
     dtype=jnp.float32,
 ) -> PbfParams:
     """``s_corr_k`` is h-relative: the effective artificial-pressure
@@ -118,8 +123,32 @@ def make_pbf_params(
         s_corr_dq=f(s_corr_dq),
         vort_eps=f(vort_eps),
         sor=f(sor),
-        proj_cap_frac=f(proj_cap_frac),
+        proj_cap_h=f(proj_cap_h),
     )
+
+
+def flagship_params(**overrides) -> PbfParams:
+    """The benchmark/flagship PBF configuration (BASELINE config #4) —
+    ONE definition shared by bench.py, the hardware micros, and the
+    quality tests that gate it (tests/test_pbf.py).
+
+    Calibration (scripts/sweep_pbf_iters.py + micro_pbf_ab.py, v5e 1M):
+    two Jacobi iterations at sor 0.9 pass every calibrated physics bar
+    (2D collapse spread > 1.5h, vmax < 10, rho_q90 < 1.15 — in fact the
+    round-3 incumbent iters=3/sor=0.8 FAILED the vmax bar at 11.9 while
+    this config reads 8.2) and run 579.9 vs 727.3 ms/step in-process
+    (1.25x): one fewer lambda+dx fold pair and ~0.4 fewer rebins/step.
+    Cap sweep at iters=2 (micro_pbf_cap2.py, same process; values below
+    in proj_cap_h = h units, measured at skin 0.25h where 0.0625h was
+    skin-frac 0.25): 0.0625 beats 0.075 on BOTH time (549.1 vs 569.2 ms,
+    1.0 vs 1.4 rebins/step) and quality (1M rho_max 1.19 vs 1.31; 2D
+    bars all green, rho_q90 1.025 vs 1.046); 0.05 fails the 2D vmax bar.
+    NOTE: at iters=3 cap 0.0625 had FAILED the spread bar — cap quality
+    is coupled to (iters, sor), so re-run scripts/sweep_pbf_iters.py
+    when touching any of the three."""
+    cfg = dict(iters=2, sor=0.9, proj_cap_h=0.0625)
+    cfg.update(overrides)
+    return make_pbf_params(**cfg)
 
 
 def _lambda_fold(params: FluidParams, pbf: PbfParams, grid, fields):
@@ -371,10 +400,11 @@ def step(
       * under-relaxes the Jacobi projection (``pbf.sor``) — simultaneous
         neighbor corrections overshoot at full step, which is the jitter
         that round 1's dynamics hid by clamping at max_speed.
-      * hard-caps a single projection at proj_cap_frac * skin (default
-        skin/6): besides being a safety net for the skin bookkeeping, the
-        cap size sets how many projections fit one bin epoch and thus the
-        rebin FIRE RATE of the checks below (see PbfParams.proj_cap_frac).
+      * hard-caps a single projection at min(proj_cap_h * h, skin/2):
+        besides being a safety net for the skin bookkeeping (the skin/2
+        clamp), the cap size sets how many projections fit one bin epoch
+        and thus the rebin FIRE RATE of the checks below (see
+        PbfParams.proj_cap_h).
     """
     # Compact owner-indexed stashes, taken BEFORE the entry rebin: compact
     # gathers are invariant under rebinning (slots permute, owners don't),
@@ -437,7 +467,7 @@ def step(
         travel=b.travel + max_norm(x_star - b.pos),
     )
 
-    proj_cap = pbf.proj_cap_frac * grid.skin
+    proj_cap = jnp.minimum(pbf.proj_cap_h * params.h, 0.5 * grid.skin)
 
     def iter_body(_, bb):
         bb = maybe_rebin(grid, bb, light=True)

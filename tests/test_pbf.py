@@ -56,6 +56,33 @@ def test_pbf_column_collapses():
     assert np.abs(np.asarray(st.vel)[np.asarray(st.active)]).max() < 10.0
 
 
+@pytest.mark.slow
+def test_pbf_flagship_config_quality():
+    """The BENCH configuration (pbf.flagship_params — the exact params
+    bench.py times at 1M) must pass the same calibrated physics bars as
+    the default: the round-2 verdict caught a perf default that silently
+    failed the dynamics bar because only the iters=4 default was gated.
+
+    Bars (calibrated in scripts/sweep_pbf_iters.py): the dam column
+    flows (> 1.5h spread at 500 steps), speeds stay physical (< 10 m/s;
+    the blow-up mode saturated the 40 m/s clamp), and the bulk stays
+    near rest density (q90 < 1.15 rho0, the settle-test bar)."""
+    scene = _scene()
+    pp = pbf.flagship_params()
+    b = scene.binned_state()
+    x0 = np.asarray(scene.state.pos)[np.asarray(scene.state.active)][:, 0].max()
+    b = pbf.simulate(scene.params, scene.bgrid, pp, b, 500)
+    assert int(b.overflow) == 0
+    st = nb.unbin(scene.bgrid, b, scene.state.capacity)
+    act = np.asarray(st.active)
+    pos = np.asarray(st.pos)[act]
+    rho = np.asarray(st.density)[act]
+    assert np.isfinite(pos).all()
+    assert pos[:, 0].max() > x0 + 1.5 * float(scene.params.h)
+    assert np.abs(np.asarray(st.vel)[act]).max() < 10.0
+    assert np.quantile(rho, 0.9) < 1.15 * float(scene.params.rest_density)
+
+
 @pytest.mark.heavy
 def test_pbf_respects_obstacles():
     from sph_pie_tpu.scenes import obstacles as obs_lib
@@ -150,7 +177,9 @@ def test_pbf_matches_bruteforce_oracle_f64():
             np.asarray(scene.state.pos)[act],
             np.asarray(scene.state.vel)[act],
             np.asarray(scene.state.mass)[act],
-            proj_cap=float(pp.proj_cap_frac) * g.skin,
+            proj_cap=min(
+                float(pp.proj_cap_h) * float(scene.params.h), 0.5 * g.skin
+            ),
         )
         want = oracle.run(steps)
         err = np.abs(got - want).max()
