@@ -143,6 +143,7 @@ def block_scene(
     cfl: float = 0.25,
     capacity: int | None = None,
     cap: int | None = None,
+    bcap: int | None = None,
     skin_frac: float = 0.25,
     wall_layers: int = 0,
     build_state: bool = True,
@@ -187,8 +188,20 @@ def block_scene(
     # headroom (cap 32) suffices and the home_tier at 1.5x makes the top
     # quarter of rows cost only what crowded blocks actually use.
     headroom = 4.5 if dim == 2 else 2.0
-    bcap = max(8, (int(math.ceil(headroom * rest_occ)) + 7) // 8 * 8)
+    if bcap is None:
+        bcap = max(8, (int(math.ceil(headroom * rest_occ)) + 7) // 8 * 8)
+    else:
+        # Explicit override (skin sweeps): 8-granular rounding only —
+        # the caller owns the headroom/overflow tradeoff; overflow is
+        # detected at runtime (BinnedState.overflow).
+        bcap = max(8, (int(bcap) + 7) // 8 * 8)
     tier = 0 if dim == 2 else max(8, (int(math.ceil(1.5 * rest_occ)) + 7) // 8 * 8)
+    # With a tight explicit bcap, 1.5x rest occupancy can reach the cap,
+    # which would silently DISABLE the tier split (binned_grid_from_bounds
+    # requires 0 < tier < cap). Clamp to cap-8: uncrowded blocks still
+    # skip the top row group instead of always paying the full cap.
+    if tier >= bcap:
+        tier = bcap - 8
     if build_state:
         pos = lattice_block(fluid_lo, fluid_hi, dx)
         st = state_lib.from_positions(
