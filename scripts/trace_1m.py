@@ -12,7 +12,8 @@ Aggregates device-plane event durations by op/fusion name, prints the
 top-N plus busy-time totals. Also dumps XLA's own cost_analysis for the
 jitted step (logical flops/bytes) for roofline accounting.
 
-Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/trace_1m.py [N]
+Run: PYTHONPATH=/root/repo:/root/.axon_site \
+     python scripts/trace_1m.py [N] [steps] [wcsph|pbf]
 """
 
 from __future__ import annotations
@@ -114,17 +115,34 @@ def sync(x):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    solver = sys.argv[3] if len(sys.argv) > 3 else "wcsph"
     scene = dam_break_3d(n_target=n)
     g, params = scene.bgrid, scene.params
 
+    if solver == "pbf":
+        from sph_pie_tpu.solvers import pbf
+
+        pp = pbf.flagship_params()
+
+        def simulate(params, g, bb, k):
+            return pbf.simulate(params, g, pp, bb, k)
+
+        def step1(bb):
+            return pbf.step(params, g, pp, bb)
+    else:
+
+        def simulate(params, g, bb, k):
+            return wcsph_binned.simulate(params, g, bb, k)
+
+        def step1(bb):
+            return wcsph_binned.step(params, g, bb)
+
     b = scene.binned_state()
-    b = wcsph_binned.simulate(params, g, b, 5)  # settle + compile
+    b = simulate(params, g, b, 5)  # settle + compile
     sync(b.travel)
 
     # XLA's own cost model for one jitted step (logical flops/bytes)
-    lowered = jax.jit(
-        lambda bb: wcsph_binned.step(params, g, bb)
-    ).lower(b)
+    lowered = jax.jit(step1).lower(b)
     compiled = lowered.compile()
     try:
         ca = compiled.cost_analysis()
@@ -143,7 +161,7 @@ def main():
     shutil.rmtree(trace_dir, ignore_errors=True)
     jax.profiler.start_trace(trace_dir)
     t0 = time.perf_counter()
-    b = wcsph_binned.simulate(params, g, b, steps)
+    b = simulate(params, g, b, steps)
     sync(b.travel)
     wall_ms = (time.perf_counter() - t0) * 1e3
     jax.profiler.stop_trace()

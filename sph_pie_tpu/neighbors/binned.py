@@ -138,6 +138,14 @@ class BinnedGrid:
                                # noise (~1e-7 rel): segments partition
                                # rows, only XLA's lane-reduce tiling
                                # differs between shapes.
+    scan_unroll: int = 1       # unroll factor for the fold's block scan
+                               # (lax.scan unroll=k): k block bodies per
+                               # while iteration. PERF.md attributes
+                               # ~10% of the 1M step to dispatch gaps +
+                               # while overhead, which scale with the
+                               # ~351 iterations/phase; unrolling trades
+                               # them for code size. A/B knob
+                               # (scripts/micro_unroll.py).
 
     @property
     def dim(self) -> int:
@@ -908,7 +916,12 @@ def slab_fold(
             carry = compute(None)
         return None, carry
 
-    _, stacked = lax.scan(body, None, jnp.arange(nblk, dtype=jnp.int32))
+    _, stacked = lax.scan(
+        body,
+        None,
+        jnp.arange(nblk, dtype=jnp.int32),
+        unroll=max(1, int(grid.scan_unroll)),
+    )
     # [nblk, blk, cap, ...] -> flat [C*cap, ...]
     return jax.tree.map(
         lambda a: a.reshape((nblk * blk * cap,) + a.shape[3:])[: C * cap], stacked
@@ -1122,7 +1135,12 @@ def slab_fold_sym(
             carry = compute(carry)
         return carry, None
 
-    carry, _ = lax.scan(body, carry0, jnp.arange(nblk, dtype=jnp.int32))
+    carry, _ = lax.scan(
+        body,
+        carry0,
+        jnp.arange(nblk, dtype=jnp.int32),
+        unroll=max(1, int(grid.scan_unroll)),
+    )
     return jax.tree.map(
         lambda a: a[padc * cap : padc * cap + C * cap], carry
     )
