@@ -291,3 +291,21 @@ def test_skin_invariance_density_forces():
     # max accel); a genuinely dropped pair shows at >= 1e-1 of scale.
     scale = float(np.abs(acc25).max()) or 1.0
     assert np.abs(acc40 - acc25).max() / scale < 1e-3
+
+
+def test_scan_unroll_matches_default():
+    """scan_unroll only changes how many block bodies share a while
+    iteration — summation order is identical, so density/forces must
+    match EXACTLY (not just to fp noise)."""
+    import dataclasses
+
+    from sph_pie_tpu.scenes import dam_break_3d
+
+    scene = dam_break_3d(n_target=3000)
+    b = scene.binned_state()
+    g1 = dataclasses.replace(scene.bgrid, pair_kernel="fold")
+    rho1 = np.asarray(wcsph_binned._density(scene.params, g1, b))
+    for k in (2, 4):
+        gk = dataclasses.replace(scene.bgrid, pair_kernel="fold", scan_unroll=k)
+        rhok = np.asarray(wcsph_binned._density(scene.params, gk, b))
+        np.testing.assert_array_equal(rhok, rho1)
