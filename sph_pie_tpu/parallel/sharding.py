@@ -117,3 +117,37 @@ def sharded_simulate(mesh: Mesh, params, grid, axis: str = SPATIAL_AXIS):
         return fn(b, jnp.asarray(n_steps, jnp.int32))
 
     return wrapped
+
+
+def sharded_pbf_simulate(mesh: Mesh, params, grid, pbf_params, axis: str = SPATIAL_AXIS):
+    """PBF n-step roll under the same spatial GSPMD decomposition.
+
+    Same contract as ``sharded_simulate``: slot arrays split along the
+    leading cell axis, scalars replicated; GSPMD partitions the
+    constraint-iteration slab folds exactly like the WCSPH ones (static
+    slices over the sharded axis lower to collective-permutes). The
+    compact owner-indexed stashes in ``pbf.step`` (K-row gathers that
+    cross shard boundaries) partition as gather collectives — correct by
+    construction; their cost rides DCN/ICI once per step.
+    """
+    import dataclasses
+
+    from sph_pie_tpu.solvers import pbf as pbf_lib
+
+    grid = dataclasses.replace(grid, symmetric_fold=False, pair_kernel="fold")
+    slot = slot_sharding(mesh, axis)
+    rep = replicated(mesh)
+
+    def wrapped(b: nb.BinnedState, n_steps):
+        spec = jax.tree.map(
+            lambda x: slot if x.ndim >= 1 and x.shape[0] == grid.num_slots else rep,
+            b,
+        )
+        fn = jax.jit(
+            lambda bb, n: pbf_lib.simulate(params, grid, pbf_params, bb, n),
+            in_shardings=(spec, rep),
+            out_shardings=spec,
+        )
+        return fn(b, jnp.asarray(n_steps, jnp.int32))
+
+    return wrapped

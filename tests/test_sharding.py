@@ -62,3 +62,36 @@ def test_sharded_simulate_includes_rebin():
 def test_mesh_creation_bounds():
     with pytest.raises(ValueError):
         sharding.make_mesh(10_000)
+
+
+@pytest.mark.heavy
+def test_sharded_pbf_matches_single_device():
+    """PBF under the 8-way spatial decomposition == single-device PBF.
+
+    Exercises the constraint-iteration folds, the owner-indexed stashes
+    (cross-shard gathers), and mid-step light rebins under GSPMD."""
+    from sph_pie_tpu.solvers import pbf
+
+    scene = _scene()
+    pp = pbf.flagship_params()
+    mesh = sharding.make_mesh(8)
+    b0 = scene.binned_state()
+    sim = sharding.sharded_pbf_simulate(mesh, scene.params, scene.bgrid, pp)
+
+    # Tolerances: GSPMD changes fusion/FMA-contraction decisions, and the
+    # projection cap is a near-discontinuity that amplifies ulp noise
+    # chaotically (measured: 5.6e-9 @ 1 step, 1.1e-5 @ 10, 4e-4 @ 20).
+    for steps, atol in ((1, 1e-7), (10, 1e-4)):
+        b_single = pbf.simulate(scene.params, scene.bgrid, pp, b0, steps)
+        b_shard = sim(sharding.shard_binned(mesh, scene.bgrid, b0), steps)
+        assert int(b_shard.overflow) == int(b_single.overflow) == 0
+        st_s = nb.unbin(scene.bgrid, b_single, scene.state.capacity)
+        st_m = nb.unbin(scene.bgrid, b_shard, scene.state.capacity)
+        act = np.asarray(st_s.active)
+        np.testing.assert_array_equal(act, np.asarray(st_m.active))
+        np.testing.assert_allclose(
+            np.asarray(st_m.pos)[act],
+            np.asarray(st_s.pos)[act],
+            rtol=0,
+            atol=atol,
+        )
