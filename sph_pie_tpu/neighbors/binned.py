@@ -304,7 +304,7 @@ def _cell_ids(grid: BinnedGrid, pos, valid):
 
 def _bin_rows(
     grid: BinnedGrid, pos, vel, mass, owner, valid, n_rebins=None,
-    sim_time=None,
+    sim_time=None, density=None,
 ) -> BinnedState:
     """Counting-sort K compact rows into the dense slot layout. O(K log K).
 
@@ -337,21 +337,24 @@ def _bin_rows(
         pos = jnp.stack(cols, axis=-1)
     cid = _cell_ids(grid, pos, valid)
 
-    # One sort, all payloads riding with the key (vel only when carried —
-    # see rebin(light=...)).
+    # One sort, all payloads riding with the key (vel/density only when
+    # carried — see rebin(light=..., carry_density=...)).
     nv = dim if vel is not None else 0
+    nd = 1 if density is not None else 0
     ops = (
         (cid,)
         + tuple(pos[:, k] for k in range(dim))
         + tuple(vel[:, k] for k in range(nv))
+        + ((density,) if nd else ())
         + (mass, owner)
     )
     sorted_ops = jax.lax.sort(ops, num_keys=1)
     scid = sorted_ops[0]
     spos = sorted_ops[1 : 1 + dim]
     svel = sorted_ops[1 + dim : 1 + dim + nv]
-    smass = sorted_ops[1 + dim + nv]
-    sowner = sorted_ops[2 + dim + nv]
+    sdens = sorted_ops[1 + dim + nv] if nd else None
+    smass = sorted_ops[1 + dim + nv + nd]
+    sowner = sorted_ops[2 + dim + nv + nd]
 
     # rank within cell = i - (index of this cell's first row), where the
     # first-row index is the running max over change-point markers.
@@ -371,7 +374,7 @@ def _bin_rows(
     S = grid.num_slots
     dt = pos.dtype
 
-    if _use_pallas_expand():
+    if _use_pallas_expand() and not nd:  # expand kernel predates density
         # Pallas expansion: per-cell VMEM copies instead of per-column XLA
         # scatters (measured ~70-90 ms per scatter at 1M on v5e). Cell
         # offsets come from one counts scatter-add + an exclusive cumsum.
@@ -425,11 +428,17 @@ def _bin_rows(
             sowner, mode="drop"
         )
 
+    dens_d = (
+        jnp.zeros((S,), dt).at[slot].set(sdens, mode="drop")
+        if nd
+        else jnp.zeros((S,), dt)
+    )
+
     out = BinnedState(
         pos=pos_d,
         vel=vel_d,
         mass=mass_d,
-        density=jnp.zeros((S,), dt),
+        density=dens_d,
         pressure=jnp.zeros((S,), dt),
         # Real particles have strictly positive mass (lattice_mass > 0),
         # empty slots hold 0 — validity is derivable, no bool scatter.
@@ -521,6 +530,7 @@ def wrap_ghosts(grid: BinnedGrid, b: BinnedState) -> BinnedState:
 
     pos, vel, mass = b.pos, b.vel, b.mass
     valid, owner, bin_pos = b.valid, b.owner, b.bin_pos
+    dens = b.density
     for g_axis, per in enumerate(grid.periodic):
         if not per:
             continue
@@ -536,9 +546,13 @@ def wrap_ghosts(grid: BinnedGrid, b: BinnedState) -> BinnedState:
         mass = wrap_axis(mass, g_axis, None)
         valid = wrap_axis(valid, g_axis, None)
         owner = wrap_axis(owner, g_axis, None)
+        # density rides as a live payload in PBF's epilogue="ride" scheme
+        # (Monaghan weight); for WCSPH it is recomputed per step and the
+        # ghost copy is simply overwritten — harmless either way.
+        dens = wrap_axis(dens, g_axis, None)
     return replace(
         b, pos=pos, vel=vel, mass=mass, valid=valid, owner=owner,
-        bin_pos=bin_pos,
+        bin_pos=bin_pos, density=dens,
     )
 
 
@@ -564,7 +578,12 @@ def _compact(grid: BinnedGrid, b: BinnedState):
     )
 
 
-def rebin(grid: BinnedGrid, b: BinnedState, light: bool = False) -> BinnedState:
+def rebin(
+    grid: BinnedGrid,
+    b: BinnedState,
+    light: bool = False,
+    carry_density: bool = False,
+) -> BinnedState:
     """Re-sort after drift: compact-gather K rows, then re-bin. O(K log K).
 
     (The obvious alternative — re-binning the S dense slots directly — costs
@@ -576,18 +595,26 @@ def rebin(grid: BinnedGrid, b: BinnedState, light: bool = False) -> BinnedState:
     vel). PBF's mid-step rebins use this: its constraint iterations read
     only pos/mass, and the step-start positions needed for the final
     velocity ride a compact owner-indexed stash instead of the vel slots
-    (solvers/pbf.py).
+    (solvers/pbf.py, epilogue="gather").
+
+    ``carry_density=True`` sorts/scatters the density column alongside
+    (one extra sort operand + scatter) instead of zeroing it — the
+    epilogue="ride" PBF scheme keeps the previous step's final density as
+    a live payload so the Monaghan XSPH weight never needs an owner
+    gather.
     """
+    S = grid.num_slots
+    safe = jnp.clip(b.slot_of, 0, S - 1)
     if light:
-        S = grid.num_slots
-        safe = jnp.clip(b.slot_of, 0, S - 1)
         pos, mass, alive = b.pos[safe], b.mass[safe], b.slot_of < S
         vel = None
     else:
         pos, vel, mass, alive = _compact(grid, b)
+    dens = b.density[safe] if carry_density else None
     owner = jnp.arange(pos.shape[0], dtype=jnp.int32)
     return _bin_rows(
-        grid, pos, vel, mass, owner, alive, b.n_rebins + 1, b.sim_time
+        grid, pos, vel, mass, owner, alive, b.n_rebins + 1, b.sim_time,
+        density=dens,
     )
 
 

@@ -41,11 +41,28 @@ class _DensView:
     valid: jax.Array
 
 
-@pytree_dataclass(meta_fields=("iters", "use_vorticity", "s_corr_n"))
+@pytree_dataclass(
+    meta_fields=("iters", "use_vorticity", "s_corr_n", "epilogue")
+)
 class PbfParams:
     """PBF solver knobs; FluidParams supplies h/dt/rho0/bounds/gravity."""
 
     iters: int                  # constraint iterations (static)
+    epilogue: str               # how step-start positions + previous-step
+                                # density reach the final fold (static;
+                                # identical physics, different data
+                                # movement — A/B on hardware via
+                                # scripts/micro_pbf_epilogue.py):
+                                # "gather" = compact owner-indexed stashes
+                                #   + light mid-step rebins; recovery is
+                                #   4 [S]<-[K] owner gathers (S ~ 8.4x K
+                                #   at the 1M flagship).
+                                # "ride" = step-start positions ride the
+                                #   (otherwise dead) vel payload and the
+                                #   density column rides rebins
+                                #   (carry_density): zero owner gathers,
+                                #   mid-step rebins carry 4 extra sort
+                                #   operands + scatters.
     use_vorticity: bool         # static: False compiles the two extra
                                 # vorticity folds away entirely
     relax_eps: jax.Array        # CFM epsilon in lambda denominator
@@ -103,6 +120,7 @@ def make_pbf_params(
     vort_eps: float = 0.0,
     sor: float = 0.8,
     proj_cap_h: float = 0.075,
+    epilogue: str = "gather",
     dtype=jnp.float32,
 ) -> PbfParams:
     """``s_corr_k`` is h-relative: the effective artificial-pressure
@@ -124,6 +142,7 @@ def make_pbf_params(
         vort_eps=f(vort_eps),
         sor=f(sor),
         proj_cap_h=f(proj_cap_h),
+        epilogue=str(epilogue),
     )
 
 
@@ -406,19 +425,22 @@ def step(
         and thus the rebin FIRE RATE of the checks below (see
         PbfParams.proj_cap_h).
     """
-    # Compact owner-indexed stashes, taken BEFORE the entry rebin: compact
-    # gathers are invariant under rebinning (slots permute, owners don't),
-    # but a fired rebin rebuilds slots with density=0, so the previous
-    # step's final density must be captured first.
+    ride = pbf.epilogue == "ride"
     S = grid.num_slots
-    safe_slot = jnp.clip(b.slot_of, 0, S - 1)
-    pos0c = b.pos[safe_slot]  # [K, dim] step-start positions
-    # Previous-step final density — the Monaghan XSPH weight for the
-    # final fused fold (see _density_xsph_fold). Virgin particles (first
-    # step, fresh emitter rows) carry density 0 -> rest-density fallback.
-    rho_prev_c = b.density[safe_slot]
+    if not ride:
+        # Compact owner-indexed stashes, taken BEFORE the entry rebin:
+        # compact gathers are invariant under rebinning (slots permute,
+        # owners don't), but a fired rebin rebuilds slots with density=0,
+        # so the previous step's final density must be captured first.
+        safe_slot = jnp.clip(b.slot_of, 0, S - 1)
+        pos0c = b.pos[safe_slot]  # [K, dim] step-start positions
+        # Previous-step final density — the Monaghan XSPH weight for the
+        # final fused fold (see _density_xsph_fold). Virgin particles
+        # (first step, fresh emitter rows) carry density 0 ->
+        # rest-density fallback.
+        rho_prev_c = b.density[safe_slot]
 
-    b = maybe_rebin(grid, b)
+    b = maybe_rebin(grid, b, carry_density=ride)
     periodic = any(grid.periodic)
     if periodic:
         b = nb.wrap_ghosts(grid, b)
@@ -457,20 +479,22 @@ def step(
     def max_norm(v):
         return jnp.sqrt(jnp.maximum(jnp.max(jnp.sum(v * v, -1)), 0.0))
 
-    # (pos0c/rho_prev_c stashed at the top of step; mid-step rebins run
-    # light=True — no velocity payload to sort or scatter, 3 fewer sort
-    # operands + 3 fewer scatters per rebin vs the round-2 scheme that
-    # rode pos0 in the vel slots and paid full rebins.)
+    # epilogue="gather": pos0c/rho_prev_c stashed at the top of step;
+    # mid-step rebins run light=True (no velocity payload to sort or
+    # scatter). epilogue="ride": the otherwise-dead vel slots carry the
+    # step-start positions through full, density-carrying rebins, so the
+    # final fold needs no owner gathers at all.
     b = replace(
         b,
         pos=x_star,
+        vel=b.pos if ride else b.vel,
         travel=b.travel + max_norm(x_star - b.pos),
     )
 
     proj_cap = jnp.minimum(pbf.proj_cap_h * params.h, 0.5 * grid.skin)
 
     def iter_body(_, bb):
-        bb = maybe_rebin(grid, bb, light=True)
+        bb = maybe_rebin(grid, bb, light=not ride, carry_density=ride)
         if periodic:
             bb = nb.wrap_ghosts(grid, bb)
         v = fmask(bb)
@@ -489,21 +513,27 @@ def step(
         )
 
     b = lax.fori_loop(0, pbf.iters, iter_body, b)
-    b = maybe_rebin(grid, b, light=True)
+    b = maybe_rebin(grid, b, light=not ride, carry_density=ride)
     if periodic:
         b = nb.wrap_ghosts(grid, b)
     valid = fmask(b)
     x_star = b.pos
-    # Recover step-start positions per slot from the compact stash. Ghost
-    # slots (periodic) gather the UNOFFSET source origin — their raw disp
-    # is off by +-L, exactly what the min-image fold below corrects.
-    K = pos0c.shape[0]
-    pos0 = pos0c[jnp.clip(b.owner, 0, K - 1)]
+    if ride:
+        # Step-start positions rode the vel payload; previous-step density
+        # rode the density column (carry_density rebins + wrap_ghosts).
+        # Ghost payloads are UNOFFSET source origins — their raw disp is
+        # off by +-L, exactly what the min-image fold below corrects.
+        pos0 = b.vel
+        rho_prev = b.density
+    else:
+        # Recover per slot from the compact stashes. Ghost slots
+        # (periodic) gather the UNOFFSET source origin likewise.
+        K = pos0c.shape[0]
+        pos0 = pos0c[jnp.clip(b.owner, 0, K - 1)]
+        rho_prev = rho_prev_c[jnp.clip(b.owner, 0, K - 1)]
 
     # Monaghan XSPH weight plane from the previous step's density (rest
-    # density for virgin rows); ghost slots inherit their source's weight
-    # through the owner gather.
-    rho_prev = rho_prev_c[jnp.clip(b.owner, 0, K - 1)]
+    # density for virgin rows); ghost slots inherit their source's weight.
     m_rho = b.mass / jnp.where(
         rho_prev > 0, rho_prev, params.rest_density
     )

@@ -314,7 +314,10 @@ def _forces(
 
 
 def maybe_rebin(
-    grid: nb.BinnedGrid, b: nb.BinnedState, light: bool = False
+    grid: nb.BinnedGrid,
+    b: nb.BinnedState,
+    light: bool = False,
+    carry_density: bool = False,
 ) -> nb.BinnedState:
     """Two-stage lazy rebin trigger.
 
@@ -336,7 +339,7 @@ def maybe_rebin(
         d = jnp.sqrt(jnp.max(d2))
         return lax.cond(
             d > thr,
-            lambda y: nb.rebin(grid, y, light=light),
+            lambda y: nb.rebin(grid, y, light=light, carry_density=carry_density),
             lambda y: replace(y, travel=d),
             x,
         )

@@ -184,3 +184,26 @@ def test_pbf_matches_bruteforce_oracle_f64():
         want = oracle.run(steps)
         err = np.abs(got - want).max()
         assert err < 1e-6, f"PBF binned vs oracle drift: {err}"
+
+
+def test_pbf_epilogue_ride_matches_gather():
+    """epilogue="ride" (payload-carried pos0/rho_prev) == epilogue="gather"
+    (owner-indexed stashes): identical physics, different data movement.
+    Same rebin cadence, same pair sums -> positions, velocities AND the
+    diagnostic density must agree to fp noise over a multi-rebin run."""
+    scene = _scene()
+    outs = {}
+    for mode in ("gather", "ride"):
+        pp = pbf.flagship_params(epilogue=mode)
+        b = pbf.simulate(scene.params, scene.bgrid, pp, scene.binned_state(), 60)
+        assert int(b.overflow) == 0
+        assert int(b.n_rebins) > 0  # the carried-payload path actually ran
+        st = nb.unbin(scene.bgrid, b, scene.state.capacity)
+        act = np.asarray(st.active)
+        outs[mode] = (
+            np.asarray(st.pos)[act],
+            np.asarray(st.vel)[act],
+            np.asarray(st.density)[act],
+        )
+    for a, b_ in zip(outs["gather"], outs["ride"]):
+        np.testing.assert_allclose(a, b_, rtol=0, atol=1e-6)

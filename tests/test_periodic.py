@@ -219,3 +219,30 @@ def test_periodic_halo_8dev_matches_single_device():
     assert np.abs(d).max() < 5e-6, np.abs(d).max()
     dv = np.asarray(out_halo.vel) - np.asarray(out_ref.vel)
     assert np.abs(dv).max() < 5e-5, np.abs(dv).max()
+
+
+def test_periodic_pbf_epilogue_ride_matches_gather():
+    """The epilogue="ride" payload scheme must survive periodic wrapping:
+    ghost slots copy the UNOFFSET pos0/density payloads (wrap_ghosts) and
+    the min-image epilogue corrects the +-L displacement — exactly the
+    gather scheme's semantics, so a seam-crossing drifting run must match
+    per particle."""
+    from sph_pie_tpu.solvers import pbf
+    from sph_pie_tpu.utils.struct import replace as srep
+
+    params, grid, pos, vel = _periodic_setup(seed=13)
+    n = pos.shape[0]
+    st = state_lib.from_positions(jnp.asarray(pos), capacity=n, mass=1.0)
+    st = srep(st, vel=jnp.zeros_like(st.vel) + jnp.asarray([0.4, 0.0]))
+    outs = {}
+    for mode in ("gather", "ride"):
+        pp = pbf.make_pbf_params(iters=2, epilogue=mode)
+        b = pbf.simulate(params, grid, pp, nb.bin_state(grid, st), 80)
+        assert int(b.overflow) == 0
+        assert int(b.n_rebins) > 5
+        out = nb.unbin(grid, b, n)
+        act = np.asarray(out.active)
+        assert act.sum() == n
+        outs[mode] = (np.asarray(out.pos)[act], np.asarray(out.vel)[act])
+    for a, b_ in zip(outs["gather"], outs["ride"]):
+        np.testing.assert_allclose(a, b_, rtol=0, atol=1e-6)
