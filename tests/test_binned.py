@@ -293,6 +293,7 @@ def test_skin_invariance_density_forces():
     assert np.abs(acc40 - acc25).max() / scale < 1e-3
 
 
+@pytest.mark.heavy
 def test_scan_unroll_matches_default():
     """scan_unroll only changes how many block bodies share a while
     iteration — summation order is identical, so density/forces must

@@ -186,6 +186,7 @@ def test_pbf_matches_bruteforce_oracle_f64():
         assert err < 1e-6, f"PBF binned vs oracle drift: {err}"
 
 
+@pytest.mark.heavy
 def test_pbf_epilogue_ride_matches_gather():
     """epilogue="ride" (payload-carried pos0/rho_prev) == epilogue="gather"
     (owner-indexed stashes): identical physics, different data movement.

@@ -221,6 +221,7 @@ def test_periodic_halo_8dev_matches_single_device():
     assert np.abs(dv).max() < 5e-5, np.abs(dv).max()
 
 
+@pytest.mark.heavy
 def test_periodic_pbf_epilogue_ride_matches_gather():
     """The epilogue="ride" payload scheme must survive periodic wrapping:
     ghost slots copy the UNOFFSET pos0/density payloads (wrap_ghosts) and
