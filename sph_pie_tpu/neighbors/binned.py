@@ -461,7 +461,7 @@ def _bin_rows(
 
 
 def bin_state(
-    grid: BinnedGrid, state: ParticleState, boundary=None
+    grid: BinnedGrid, state: ParticleState, boundary=None, sim_time=None
 ) -> BinnedState:
     """ParticleState (flat, original order) -> dense binned layout.
 
@@ -470,6 +470,13 @@ def bin_state(
     grid.n_boundary). They ride every rebin like fluid rows — their
     positions simply never change — and solvers freeze them via
     ``frozen_mask``.
+
+    ``state.density`` is carried into the slots (zero for boundary rows):
+    WCSPH recomputes it immediately, while PBF's Monaghan XSPH weight
+    reads the previous step's density, which must survive the epoch
+    loop's unbin/bin round-trip. ``sim_time`` seeds the state clock —
+    the epoch loop passes its running time so moving obstacles keep
+    their phase across epoch boundaries instead of snapping back to t=0.
     """
     n_fluid = (grid.max_particles or state.capacity) - grid.n_boundary
     if grid.max_particles and state.capacity != n_fluid:
@@ -493,8 +500,19 @@ def bin_state(
         valid = jnp.concatenate(
             [valid, jnp.ones((grid.n_boundary,), jnp.bool_)]
         )
+    dens = state.density
+    if grid.n_boundary:
+        dens = jnp.concatenate(
+            [dens, jnp.zeros((grid.n_boundary,), dens.dtype)]
+        )
     owner = jnp.arange(pos.shape[0], dtype=jnp.int32)
-    return _bin_rows(grid, pos, vel, mass, owner, valid)
+    return _bin_rows(
+        grid, pos, vel, mass, owner, valid,
+        sim_time=(
+            None if sim_time is None else jnp.asarray(sim_time, pos.dtype)
+        ),
+        density=dens,
+    )
 
 
 def wrap_ghosts(grid: BinnedGrid, b: BinnedState) -> BinnedState:
