@@ -89,9 +89,22 @@ class RunExecutor:
 
             run0 = provider.get_run(run_id) or {}
             builder = getattr(builders, scene_id)
+            params0 = dict(run0.get("params") or {})
+            # solver selection rides the run params: {"solver": "pbf",
+            # "pbf": {...make_pbf_params kwargs...}} runs the constraint
+            # solver through the same epoch loop (BASELINE config #4).
+            solver = str(params0.pop("solver", "wcsph"))
+            pbf_kwargs = params0.pop("pbf", None) or {}
+            pbf_params = None
+            if solver == "pbf":
+                from sph_pie_tpu.solvers import pbf as pbf_lib
+
+                pbf_params = pbf_lib.make_pbf_params(**pbf_kwargs)
+            elif solver != "wcsph":
+                raise ValueError(f"unknown solver {solver!r}")
             try:
                 # the run's params dict parameterises the scene builder
-                scene = builder(**(run0.get("params") or {}))
+                scene = builder(**params0)
             except TypeError as e:
                 raise ValueError(f"bad scene params: {e}") from e
             update(status="running", startedAt=now_ms())
@@ -109,6 +122,7 @@ class RunExecutor:
                     1,
                     start_step=step,
                     boundary=getattr(scene, "boundary", None),
+                    pbf_params=pbf_params,
                 )
                 step += chunk
                 m = metrics_lib.state_metrics(state, scene.params, step=step)
