@@ -314,6 +314,7 @@ async function runAction(act, id) {
       if (!src) return;
       const copy = await api("POST", "/api/runs", {
         name: `${src.name} (copy)`, scene: src.scene, runDate: src.runDate,
+        ...(src.params ? { params: src.params } : {}),
       });
       state.currentRunId = copy.run?.id || null;
       toast("run duplicated");
@@ -570,11 +571,13 @@ $("stepEditForm").onsubmit = async (e) => {
 $("runForm").onsubmit = async (e) => {
   e.preventDefault();
   try {
-    await api("POST", "/api/runs", {
+    const body = {
       name: $("runName").value.trim(),
       scene: $("runScene").value,
       runDate: $("runDate").value,
-    });
+    };
+    if ($("runSolver").value === "pbf") body.params = { solver: "pbf" };
+    await api("POST", "/api/runs", body);
     $("runName").value = "";
     toast("run created");
     await loadRuns();
