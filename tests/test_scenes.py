@@ -211,6 +211,7 @@ def test_stirrer_adds_energy_binned():
     assert e_stir > 2.0 * e_static, (e_stir, e_static)
 
 
+@pytest.mark.heavy
 def test_run_scene_pbf_epochs_match_simulate():
     """Epoch loop with pbf_params == direct PBF simulate: the epoch
     boundary's unbin/bin round-trip must carry density (the Monaghan
