@@ -352,6 +352,23 @@ def dam_break_3d(n_target: int = 100_000, dtype=jnp.float32, **overrides) -> Sce
     dx = (vol / n_target) ** (1.0 / 3.0)
     overrides.setdefault("surface_tension", 0.25)
     overrides.setdefault("xsph_eps", 0.05)
+    # skin 0.40 / cap 40: measured optimum on v5e at 1M (scripts/
+    # sweep_skin_up.py, 4 interleaved reps, overflow 0): WCSPH 142.3 ->
+    # 132.0 ms/step, PBF flagship 509.8 -> 471.7 with rebins 1.0 -> 0.5
+    # per step. The window lane dim is 3*cap padded to 128, so cap 40
+    # (120 lanes) wastes 6% of every vector op vs cap 32's 25%, while
+    # cells — and the ~47% window-plumbing share of the step (PERF.md) —
+    # shrink by cell volume. Occupancy is resolution-invariant for this
+    # geometry ((cell/dx)^3 fixed by h_over_dx and skin): full-run p100
+    # was 27 at skin 0.25 -> x(1.40/1.25)^3 ~ 38 < 40; overflow is
+    # counted at runtime (BinnedState.overflow) and reported by bench.
+    # Downward sweep (sweep_skin.py) and 0.35 both lose; see ROADMAP.
+    if "skin_frac" not in overrides:
+        overrides["skin_frac"] = 0.40
+        # cap tied to the defaulted skin only: explicit skin sweeps own
+        # their cap (auto headroom at 0.40 would pick 48 -> 144 lanes,
+        # spilling into a second 128-lane tile and losing the whole win).
+        overrides.setdefault("bcap", 40)
     return block_scene(
         name="dam_break_3d",
         dim=3,

@@ -164,8 +164,15 @@ def flagship_params(**overrides) -> PbfParams:
     bars all green, rho_q90 1.025 vs 1.046); 0.05 fails the 2D vmax bar.
     NOTE: at iters=3 cap 0.0625 had FAILED the spread bar — cap quality
     is coupled to (iters, sor), so re-run scripts/sweep_pbf_iters.py
-    when touching any of the three."""
-    cfg = dict(iters=2, sor=0.9, proj_cap_h=0.0625)
+    when touching any of the three.
+
+    epilogue="ride": hardware A/B at 1M (scripts/micro_pbf_epilogue.py,
+    v5e, 4 interleaved reps, std <1 ms): ride 437.1 vs gather 551.4
+    ms/step — 1.26x. The 4 [S]<-[K] owner gathers (S ~ 8.4x K) cost more
+    than the extra rebin sort operands at every measured rebin rate
+    (1.0/step here). Physics-equal to 1e-6 incl. periodic seams
+    (tests/test_pbf.py::test_pbf_epilogue_ride_matches_gather)."""
+    cfg = dict(iters=2, sor=0.9, proj_cap_h=0.0625, epilogue="ride")
     cfg.update(overrides)
     return make_pbf_params(**cfg)
 
