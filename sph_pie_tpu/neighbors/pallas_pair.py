@@ -91,11 +91,13 @@ def _plan(grid: nb.BinnedGrid):
 
 
 def _class_views(x2d, cap):
-    """views[a][r, l] == x2d_flat[a*cap + r*LANE + l] for a = 0..3."""
+    """views[a][r, l] == row-packed span shifted left by a cells: lane l of
+    view a reads packed lane (a*cap + l) of the same row, wrapping into row
+    r+1. One view per cell class a = 0..LANE//cap - 1."""
     lane_idx = lax.broadcasted_iota(jnp.int32, x2d.shape, 1)
     x_down = jnp.concatenate([x2d[1:], jnp.zeros_like(x2d[:1])], axis=0)
     views = [x2d]
-    for a in (1, 2, 3):
+    for a in range(1, LANE // cap):
         s = a * cap
         # left-roll by s == right-roll by LANE - s (pltpu.roll rejects
         # negative shifts on this jax)
@@ -106,22 +108,33 @@ def _class_views(x2d, cap):
 
 
 def _pack_rows(grid: nb.BinnedGrid, plan, cols):
-    """[S] flat fields -> one [F, n_rows, 128] HBM array (f32)."""
-    h0_elems = plan["h0"] * LANE
-    total = plan["n_rows"] * LANE
+    """[S] flat fields -> one [F, n_rows, 128] HBM array (f32).
+
+    Each row packs cpr = LANE//cap consecutive cells at lane stride cap;
+    when cap*cpr < LANE (cap 40: 3 cells = 120 lanes) the trailing lanes
+    of every row are zero filler — indistinguishable from empty slots
+    (mass 0 at the origin), which every pair kernel already treats as
+    exactly zero weight. cap 32 degenerates to the plain [.., 128]
+    reshape (row width == LANE, no filler)."""
+    cap = grid.cap
+    cpr = LANE // cap
+    row_w = cpr * cap
+    front = plan["padc"] * cap
+    total = plan["n_rows"] * row_w
     out = []
     for c in cols:
         flat = c.astype(jnp.float32)
-        back = total - h0_elems - flat.shape[0]
-        out.append(
-            jnp.concatenate(
-                [
-                    jnp.zeros((h0_elems,), jnp.float32),
-                    flat,
-                    jnp.zeros((back,), jnp.float32),
-                ]
-            ).reshape(plan["n_rows"], LANE)
-        )
+        back = total - front - flat.shape[0]
+        x = jnp.concatenate(
+            [
+                jnp.zeros((front,), jnp.float32),
+                flat,
+                jnp.zeros((back,), jnp.float32),
+            ]
+        ).reshape(plan["n_rows"], row_w)
+        if row_w < LANE:
+            x = jnp.pad(x, ((0, 0), (0, LANE - row_w)))
+        out.append(x)
     return jnp.stack(out, axis=0)
 
 

@@ -36,7 +36,10 @@ count at one array per physical field.
 
 Reference behavior parity: same pair math as solvers/wcsph_binned._forces
 (Mueller-03 pressure/viscosity, Akinci cohesion, XSPH), which itself
-mirrors the CPU/native oracles. cap == 32 only (4 cells per 128-lane row).
+mirrors the CPU/native oracles. cap-general at cap % 8 == 0, >= 2 cells
+per 128-lane row: cap 32 packs 4 cells/row exactly; cap 40 (the measured
+skin-0.40 optimum, scenes/builders.py) packs 3 cells/row with 8 zero
+filler lanes, which behave as empty slots (mass 0 -> zero weight).
 """
 
 from __future__ import annotations
@@ -53,7 +56,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sph_pie_tpu.neighbors import binned as nb
 from sph_pie_tpu.neighbors.pallas_pair import (
-    BLK,
     LANE,
     _class_views,
     _grid_h,
@@ -86,28 +88,42 @@ ABLATE = os.environ.get("SPH_PIE_SYM_ABLATE", "")
 
 
 def _plan_sym(grid: nb.BinnedGrid):
-    """Static plan: positive-shift slabs + self slab, DMA geometry."""
-    if grid.cap != 32:
-        raise ValueError(f"pallas sym kernels require cap == 32, got {grid.cap}")
+    """Static plan: positive-shift slabs + self slab, DMA geometry.
+
+    cap-general: rows pack cpr = LANE//cap consecutive cells (cap 32 ->
+    4 cells/128 lanes exact; cap 40 -> 3 cells/120 lanes + 8 zero-filler
+    lanes that behave as empty slots). cap must be a multiple of 8
+    (sublane-aligned lane slices) with at least 2 cells per row (the self
+    slab needs cells c and c+1 in one view)."""
+    cap = grid.cap
+    cpr = LANE // cap
+    if cap % 8 != 0 or cpr < 2:
+        raise ValueError(
+            f"pallas sym kernels need cap % 8 == 0 and cap <= 64, got {cap}"
+        )
     shifts = tuple(grid.slab_shifts())
     reach = max(abs(s) for s in shifts)
-    padc = -(-(reach + 1) // 4) * 4  # front pad cells, multiple of 4
-    nr = -(-(BLK + 6 + 4) // 4)
-    nr = -(-nr // 8) * 8  # 72 rows: sublane-tiled span per slab
+    padc = -(-(reach + 1) // cpr) * cpr  # front pad cells, row-granular
+    rows_blk = (256 // cpr // 8) * 8  # home lane-rows per program (64/80)
+    blk = rows_blk * cpr  # home cells per program (256 at cap 32, 240 at 40)
+    # deposit/read span: view rows reach rows_blk+1 (roff <= 1 plus the
+    # next-row merge); round to the f32 sublane tile
+    nr = -(-(rows_blk + 2) // 8) * 8
     C = grid.num_cells
-    nblk = -(-C // BLK)
-    rows_blk = BLK * grid.cap // LANE  # 64
-    h0 = padc * grid.cap // LANE
+    nblk = -(-C // blk)
+    h0 = padc // cpr
     # positive slabs: window start cell c+sh-1; self slab: window start c
     slabs = []
     for sh in shifts:
         if sh > 0:
             d = sh - 1 + padc
-            slabs.append((d // 4, d % 4, False))
-    slabs.append((padc // 4, 0, True))  # self slab last
+            slabs.append((d // cpr, d % cpr, False))
+    slabs.append((padc // cpr, 0, True))  # self slab last
     q_max = max(q for q, _, _ in slabs)
     n_rows = nblk * rows_blk + h0 + q_max + nr
     return {
+        "cpr": cpr,
+        "blk": blk,
         "padc": padc,
         "nr": nr,
         "nblk": nblk,
@@ -122,11 +138,11 @@ def aux_rows(grid: nb.BinnedGrid, mass, scalars=()) -> jax.Array:
     """[nblk, 8, 128] f32 aux: lane 0 = occupancy flag, lane 1 = number of
     8-rank home chunks the block needs, lanes 8.. = traced scalars."""
     plan = _plan_sym(grid)
-    nblk = plan["nblk"]
+    nblk, blk = plan["nblk"], plan["blk"]
     cap = grid.cap
-    pad = nblk * BLK * cap - grid.num_slots
+    pad = nblk * blk * cap - grid.num_slots
     m = jnp.concatenate([mass > 0, jnp.zeros((pad,), jnp.bool_)])
-    occ3 = m.reshape(nblk, BLK, cap)
+    occ3 = m.reshape(nblk, blk, cap)
     blk_any = jnp.any(occ3, axis=(1, 2)).astype(jnp.float32)
     blk_max = jnp.max(jnp.sum(occ3.astype(jnp.int32), axis=2), axis=1)
     nchunk = (-(-blk_max // RCH)).astype(jnp.float32)
@@ -138,12 +154,13 @@ def aux_rows(grid: nb.BinnedGrid, mass, scalars=()) -> jax.Array:
     return jnp.broadcast_to(row[:, None, :], (nblk, 8, LANE))
 
 
-def _deposit(contrib, a, into, roff, rows_blk):
+def _deposit(contrib, a, into, roff, cap):
     """Add a [rows_blk, 128] view-class-a contribution into the span-space
     accumulator ``into`` ([nr, 128]) at row offset ``roff``.
 
-    Inverse of _class_views: span[a*cap + r*128 + l] += contrib[r, l]
-    == right-roll by a*cap with the wrapped lanes carried to row r+1.
+    Inverse of _class_views: packed lane a*cap + l of row r + roff gets
+    contrib[r, l] == right-roll by a*cap with the wrapped lanes carried to
+    row r+1 (deposits that land on filler lanes are dropped at unpack).
     Static pad-concats instead of .at[].add (Mosaic has no scatter-add)."""
     nr = into.shape[0]
 
@@ -159,7 +176,7 @@ def _deposit(contrib, a, into, roff, rows_blk):
 
     if a == 0:
         return into + pad_rows(contrib, roff)
-    s = a * 32
+    s = a * cap
     lane_idx = lax.broadcasted_iota(jnp.int32, contrib.shape, 1)
     rolled = pltpu.roll(contrib, s, 1)
     main = jnp.where(lane_idx >= s, rolled, 0.0)
@@ -167,14 +184,14 @@ def _deposit(contrib, a, into, roff, rows_blk):
     return into + pad_rows(main, roff) + pad_rows(carry, roff + 1)
 
 
-def _tri_mask(cap, rc):
-    """[RCH, 128] bool mask for the self slab, rank chunk ``rc``: lanes of
-    the home cell itself keep strictly-upper-triangle pairs; all other
-    lanes pass (cell c+1 pairs once; cells c+2/c+3 are zero-weight
-    filler). Built from iotas inside the kernel (pallas_call forbids
+def _tri_mask(cap, off, sz):
+    """[sz, 128] bool mask for the self slab, home ranks off..off+sz: lanes
+    of the home cell itself keep strictly-upper-triangle pairs; all other
+    lanes pass (cell c+1 pairs once; later cells and filler lanes are
+    zero-weight). Built from iotas inside the kernel (pallas_call forbids
     captured array constants)."""
-    sub = lax.broadcasted_iota(jnp.int32, (RCH, LANE), 0) + rc * RCH
-    lane = lax.broadcasted_iota(jnp.int32, (RCH, LANE), 1)
+    sub = lax.broadcasted_iota(jnp.int32, (sz, LANE), 0) + off
+    lane = lax.broadcasted_iota(jnp.int32, (sz, LANE), 1)
     return (lane >= cap) | (sub < lane)
 
 
@@ -212,8 +229,9 @@ def _combine(plan, grid, home_part, win_parts):
         ).reshape(total, LANE)
         acc = shift_add(acc, body, q0)
         acc = shift_add(acc, tail_full, q0 + rows_blk)
-    flat = acc.reshape(-1)
-    s0 = h0 * LANE
+    row_w = plan["cpr"] * grid.cap
+    flat = acc[:, :row_w].reshape(-1)  # drop filler lanes (cap 32: no-op)
+    s0 = h0 * row_w
     return flat[s0 : s0 + grid.num_slots]
 
 
@@ -269,7 +287,10 @@ def _build_density(grid: nb.BinnedGrid, interpret: bool = False):
     slabs = plan["slabs"]
     rows_blk = plan["rows_blk"]
     nr = plan["nr"]
-    nrc = cap // RCH
+    cpr = plan["cpr"]
+    # static home-rank chunks (sizes multiples of 8; last may be ragged)
+    chunks = [(o, min(RCH, cap - o)) for o in range(0, cap, RCH)]
+    lane_fill = LANE - cpr * cap
 
     def kernel(packed_hbm, aux_ref, hout_ref, wout_ref, home_s, slab_s, sem):
         i = pl.program_id(0)
@@ -295,7 +316,7 @@ def _build_density(grid: nb.BinnedGrid, interpret: bool = False):
                 packed_hbm.at[:, pl.ds(hrow0, rows_blk)], home_s, sem.at[0]
             ).wait()
             homes = [
-                [home_s[f][:, b * cap : (b + 1) * cap] for b in range(4)]
+                [home_s[f][:, b * cap : (b + 1) * cap] for b in range(cpr)]
                 for f in range(n_fields)
             ]
             for s, (q0, a0, is_self) in enumerate(slabs):
@@ -310,9 +331,9 @@ def _build_density(grid: nb.BinnedGrid, interpret: bool = False):
                 wacc = jnp.zeros((nr, LANE), jnp.float32)
                 rho_cls = []
                 n_rg = rows_blk // RGRP
-                for b in range(4):
-                    a = (b + a0) % 4
-                    roff = (b + a0) // 4
+                for b in range(cpr):
+                    a = (b + a0) % cpr
+                    roff = (b + a0) // cpr
                     rho_rg, wd_rg = [], []
                     for rg in range(n_rg):
                         r0 = rg * RGRP
@@ -324,16 +345,16 @@ def _build_density(grid: nb.BinnedGrid, interpret: bool = False):
                         ]
                         rho_rc = []
                         wdep = jnp.zeros((RGRP, LANE), jnp.float32)
-                        for rc in range(nrc):
+                        for ci, (coff, csz) in enumerate(chunks):
 
-                            def chunk(rc=rc, b=b, win=win, r0=r0):
+                            def chunk(coff=coff, csz=csz, b=b, win=win, r0=r0):
                                 r2 = jnp.zeros(
-                                    (RGRP, RCH, LANE), jnp.float32
+                                    (RGRP, csz, LANE), jnp.float32
                                 )
                                 for k in range(dim):
                                     hm = homes[k][b][
                                         r0 : r0 + RGRP,
-                                        rc * RCH : (rc + 1) * RCH,
+                                        coff : coff + csz,
                                     ]
                                     d = hm[:, :, None] - win[k]
                                     r2 = r2 + d * d
@@ -341,11 +362,13 @@ def _build_density(grid: nb.BinnedGrid, interpret: bool = False):
                                 wk = (coeff * q) * q * q
                                 if is_self:
                                     wk = jnp.where(
-                                        _tri_mask(cap, rc)[None], wk, 0.0
+                                        _tri_mask(cap, coff, csz)[None],
+                                        wk,
+                                        0.0,
                                     )
                                 m_h = homes[dim][b][
                                     r0 : r0 + RGRP,
-                                    rc * RCH : (rc + 1) * RCH,
+                                    coff : coff + csz,
                                 ]
                                 rho_c = jnp.sum(win[dim] * wk, axis=2)
                                 wd = jnp.sum(m_h[:, :, None] * wk, axis=1)
@@ -354,14 +377,14 @@ def _build_density(grid: nb.BinnedGrid, interpret: bool = False):
                             # occupancy-adaptive: ranks past the block max
                             # are empty by the counting-sort invariant
                             zero_rc = (
-                                jnp.zeros((RGRP, RCH), jnp.float32),
+                                jnp.zeros((RGRP, csz), jnp.float32),
                                 jnp.zeros((RGRP, LANE), jnp.float32),
                             )
                             if NOCOND:
                                 rho_c, wd = chunk()
                             else:
                                 rho_c, wd = lax.cond(
-                                    rc < n_chunks, chunk, lambda: zero_rc
+                                    ci < n_chunks, chunk, lambda: zero_rc
                                 )
                             rho_rc.append(rho_c)
                             wdep = wdep + wd
@@ -369,16 +392,22 @@ def _build_density(grid: nb.BinnedGrid, interpret: bool = False):
                         wd_rg.append(wdep)
                     rho_cls.append(jnp.concatenate(rho_rg, axis=0))
                     wacc = _deposit(
-                        jnp.concatenate(wd_rg, axis=0), a, wacc, roff, rows_blk
+                        jnp.concatenate(wd_rg, axis=0), a, wacc, roff, cap
                     )
-                hout_ref[0] = hout_ref[0] + jnp.concatenate(rho_cls, axis=1)
+                hcat = jnp.concatenate(rho_cls, axis=1)
+                if lane_fill:
+                    hcat = jnp.concatenate(
+                        [hcat, jnp.zeros((rows_blk, lane_fill), jnp.float32)],
+                        axis=1,
+                    )
+                hout_ref[0] = hout_ref[0] + hcat
                 wout_ref[s] = wacc
 
     return plan, _make_call(grid, plan, n_fields, 1, 1, kernel, interpret)
 
 
 def density_sym(params, grid: nb.BinnedGrid, b, interpret: bool = False):
-    """Drop-in for wcsph_binned._density (single device, cap == 32).
+    """Drop-in for wcsph_binned._density (single device).
 
     Pairs computed once; the W(0) self term rides an elementwise pass."""
     plan, fn = _build_density(grid, interpret)
@@ -425,7 +454,9 @@ def _build_forces(
     slabs = plan["slabs"]
     rows_blk = plan["rows_blk"]
     nr = plan["nr"]
-    nrc = cap // RCH
+    cpr = plan["cpr"]
+    chunks = [(o, min(RCH, cap - o)) for o in range(0, cap, RCH)]
+    lane_fill = LANE - cpr * cap
     tiny = 1e-12
 
     def kernel(packed_hbm, aux_ref, hout_ref, wout_ref, home_s, slab_s, sem):
@@ -455,9 +486,6 @@ def _build_forces(
                 packed_hbm.at[:, pl.ds(hrow0, rows_blk)], home_s, sem.at[0]
             ).wait()
 
-            def hsl(f, b, rc):
-                return home_s[f][:, b * cap + rc * RCH : b * cap + (rc + 1) * RCH]
-
             for s, (q0, a0, is_self) in enumerate(slabs):
                 pltpu.make_async_copy(
                     packed_hbm.at[:, pl.ds(i * rows_blk + q0, nr)],
@@ -469,9 +497,9 @@ def _build_forces(
                 ]
                 cls_h = []  # per class: per output [rows_blk, cap]
                 n_rg = rows_blk // RGRP
-                for b in range(4):
-                    a = (b + a0) % 4
-                    roff = (b + a0) // 4
+                for b in range(cpr):
+                    a = (b + a0) % cpr
+                    roff = (b + a0) // cpr
                     h_rg = [[] for _ in range(n_out)]
                     w_rg = [[] for _ in range(n_out)]
                     for rg in range(n_rg):
@@ -482,10 +510,10 @@ def _build_forces(
                                 roff + r0 : roff + r0 + RGRP
                             ][:, None, :]
 
-                        def hsl(f, b, rc, r0=r0):
+                        def hsl(f, b, coff, csz, r0=r0):
                             return home_s[f][
                                 r0 : r0 + RGRP,
-                                b * cap + rc * RCH : b * cap + (rc + 1) * RCH,
+                                b * cap + coff : b * cap + coff + csz,
                             ]
 
                         h_rc = [[] for _ in range(n_out)]
@@ -493,15 +521,17 @@ def _build_forces(
                             jnp.zeros((RGRP, LANE), jnp.float32)
                             for _ in range(n_out)
                         ]
-                        for rc in range(nrc):
+                        for ci, (coff, csz) in enumerate(chunks):
 
-                            def chunk(rc=rc, b=b, a=a, win=win, hsl=hsl):
+                            def chunk(
+                                coff=coff, csz=csz, b=b, a=a, win=win, hsl=hsl
+                            ):
                                 d = []
                                 r2 = jnp.zeros(
-                                    (RGRP, RCH, LANE), jnp.float32
+                                    (RGRP, csz, LANE), jnp.float32
                                 )
                                 for k in range(dim):
-                                    dk = hsl(k, b, rc)[:, :, None] - win(k)
+                                    dk = hsl(k, b, coff, csz)[:, :, None] - win(k)
                                     d.append(dk)
                                     r2 = r2 + dk * dk
                                 inv_r = lax.rsqrt(jnp.maximum(r2, tiny))
@@ -509,8 +539,8 @@ def _build_forces(
                                 qs = jnp.maximum(h - r, 0.0)
                                 gw = c_spiky * qs * qs
                                 if is_self:
-                                    gw = jnp.where(_tri_mask(cap, rc)[None], gw, 0.0)
-                                p_term = hsl(F_PR2, b, rc)[:, :, None] + win(F_PR2)
+                                    gw = jnp.where(_tri_mask(cap, coff, csz)[None], gw, 0.0)
+                                p_term = hsl(F_PR2, b, coff, csz)[:, :, None] + win(F_PR2)
                                 radial = p_term * gw
                                 if use_cohesion:
                                     hr3 = qs * qs * qs
@@ -523,31 +553,31 @@ def _build_forces(
                                         (r > 0.0) & (r < h), c_coh * cval, 0.0
                                     )
                                     if is_self:
-                                        coh = jnp.where(_tri_mask(cap, rc)[None], coh, 0.0)
+                                        coh = jnp.where(_tri_mask(cap, coff, csz)[None], coh, 0.0)
                                     radial = radial + st * coh
                                 radial = radial * inv_r
                                 lap = c_visc * qs
                                 if is_self:
-                                    lap = jnp.where(_tri_mask(cap, rc)[None], lap, 0.0)
+                                    lap = jnp.where(_tri_mask(cap, coff, csz)[None], lap, 0.0)
                                 g = (
-                                    (mu * hsl(F_IRHO, b, rc)[:, :, None])
+                                    (mu * hsl(F_IRHO, b, coff, csz)[:, :, None])
                                     * win(F_IRHO)
                                 ) * lap
-                                m_h = hsl(F_MASS, b, rc)[:, :, None]
+                                m_h = hsl(F_MASS, b, coff, csz)[:, :, None]
                                 m_w = win(F_MASS)
                                 outs = []
                                 if use_xsph:
                                     qp = jnp.maximum(h2 - r2, 0.0)
                                     wk = (c_poly6 * qp) * qp * qp
                                     if is_self:
-                                        wk = jnp.where(_tri_mask(cap, rc)[None], wk, 0.0)
-                                    mr_h = m_h * hsl(F_IRHO, b, rc)[:, :, None]
+                                        wk = jnp.where(_tri_mask(cap, coff, csz)[None], wk, 0.0)
+                                    mr_h = m_h * hsl(F_IRHO, b, coff, csz)[:, :, None]
                                     mr_w = m_w * win(F_IRHO)
                                 for k in range(dim):
-                                    dv = win(dim + k) - hsl(dim + k, b, rc)[:, :, None]
+                                    dv = win(dim + k) - hsl(dim + k, b, coff, csz)[:, :, None]
                                     A = g * dv - radial * d[k]
                                     h_red = (
-                                        jnp.zeros((RGRP, RCH), jnp.float32)
+                                        jnp.zeros((RGRP, csz), jnp.float32)
                                         if ABLATE == "nohome"
                                         else jnp.sum(m_w * A, axis=2)
                                     )
@@ -561,7 +591,7 @@ def _build_forces(
                                     for k in range(dim):
                                         dv = (
                                             win(dim + k)
-                                            - hsl(dim + k, b, rc)[:, :, None]
+                                            - hsl(dim + k, b, coff, csz)[:, :, None]
                                         )
                                         X = wk * dv
                                         outs.append(
@@ -576,7 +606,7 @@ def _build_forces(
                                 x
                                 for _ in range(n_out)
                                 for x in (
-                                    jnp.zeros((RGRP, RCH), jnp.float32),
+                                    jnp.zeros((RGRP, csz), jnp.float32),
                                     jnp.zeros((RGRP, LANE), jnp.float32),
                                 )
                             )
@@ -584,7 +614,7 @@ def _build_forces(
                                 res = chunk()
                             else:
                                 res = lax.cond(
-                                    rc < n_chunks, chunk, lambda: zero
+                                    ci < n_chunks, chunk, lambda: zero
                                 )
                             for j in range(n_out):
                                 h_rc[j].append(res[2 * j])
@@ -606,12 +636,23 @@ def _build_forces(
                             a,
                             wout_ref[s * n_out + j],
                             roff,
-                            rows_blk,
+                            cap,
                         )
                 for j in range(n_out):
-                    hout_ref[j] = hout_ref[j] + jnp.concatenate(
-                        [cls_h[b][j] for b in range(4)], axis=1
+                    hcat = jnp.concatenate(
+                        [cls_h[b][j] for b in range(cpr)], axis=1
                     )
+                    if lane_fill:
+                        hcat = jnp.concatenate(
+                            [
+                                hcat,
+                                jnp.zeros(
+                                    (rows_blk, lane_fill), jnp.float32
+                                ),
+                            ],
+                            axis=1,
+                        )
+                    hout_ref[j] = hout_ref[j] + hcat
 
     return (
         plan,
@@ -621,7 +662,7 @@ def _build_forces(
 
 
 def forces_sym(params, grid: nb.BinnedGrid, b, interpret: bool = False):
-    """Drop-in for wcsph_binned._forces (single device, cap == 32)."""
+    """Drop-in for wcsph_binned._forces (single device)."""
     use_coh = bool(params.use_cohesion)
     use_x = bool(params.use_xsph)
     plan, fn, n_out = _build_forces(grid, use_coh, use_x, interpret)

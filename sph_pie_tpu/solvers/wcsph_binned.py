@@ -64,12 +64,19 @@ def _use_pallas_sym(
 
       * density at >= 20k cells: the kernel's per-slab DMA spans beat the
         fold's full-reach window slices once windows get big (measured
-        v5e 1M: 26.6 vs 37.0 ms = 1.39x; 100k: 1.17x; small 2D grids are
-        a wash and not worth the Mosaic compile).
+        v5e 1M: cap 32 26.6 vs 37.0 ms = 1.39x, cap 40 27.5 vs 35.5 =
+        1.29x, step 117.9 -> 112.0 — scripts/micro_sym40.py; 100k:
+        1.17x; small 2D grids are a wash and not worth the Mosaic
+        compile).
       * forces: NOT routed on "auto" — Mosaic's pair-op throughput keeps
         it at 0.75x the fold even at 1M (ROADMAP, measured exhaustively).
     """
-    if halo is not None or local_cells is not None or grid.cap != 32:
+    if halo is not None or local_cells is not None:
+        return False
+    # cap-general row packing (pallas_sym): 32 = 4 cells/128-lane row
+    # exact; 40 = 3 cells/row + 8 filler lanes (the skin-0.40 default).
+    # Other caps compile but are unmeasured — keep them on the fold.
+    if grid.cap not in (32, 40):
         return False
     if grid.pair_kernel == "sym":
         return True

@@ -47,6 +47,9 @@ def test_rebin_preserves_particles():
     assert float(b2.travel) == 0.0
 
 
+@pytest.mark.heavy  # compile-heavy f64 gate (~34 s on the 1-CPU mesh);
+# the default tier keeps test_binned_matches_naive_engine_f32 on the same
+# engine path
 def test_binned_matches_oracle_f64():
     with jax.enable_x64():
         scene = _small_scene(dtype=jnp.float64)

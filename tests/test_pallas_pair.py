@@ -12,11 +12,14 @@ def _scene(make):
     from sph_pie_tpu.scenes import builders
     from sph_pie_tpu.solvers import wcsph_binned
 
+    # pallas_pair kernels are cap-32-only (the production sym kernels are
+    # cap-general); pin the pre-skin-0.40 geometry for the 3D scene
+    kw = {} if make == "dam_break_2d" else {"skin_frac": 0.25}
     scene = getattr(builders, make)(
-        n_target=700 if make == "dam_break_2d" else 1500
+        n_target=700 if make == "dam_break_2d" else 1500, **kw
     )
     g = scene.bgrid
-    assert g.cap == 32, "scene builders produce cap-32 grids"
+    assert g.cap == 32, "pallas_pair kernels require cap-32 grids"
     b = scene.binned_state()
     b = wcsph_binned.simulate(scene.params, g, b, 10)
     return scene, g, b

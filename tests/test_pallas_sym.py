@@ -15,14 +15,18 @@ def _scene(make):
         n_target=700 if make == "dam_break_2d" else 1500
     )
     g = scene.bgrid
-    assert g.cap == 32, "scene builders produce cap-32 grids"
+    # dam_break_2d -> cap 32 (4 cells/row exact); dam_break_3d -> cap 40
+    # (3 cells/row + filler lanes) — both packings must match the fold
+    assert g.cap == (32 if make == "dam_break_2d" else 40)
     b = scene.binned_state()
     b = wcsph_binned.simulate(scene.params, g, b, 10)
     return scene, g, b
 
 
-@pytest.mark.parametrize("make", ["dam_break_2d",
-    pytest.param("dam_break_3d", marks=pytest.mark.heavy)])
+@pytest.mark.heavy  # interpret-mode Mosaic compiles are minutes on the
+# 1-CPU mesh; the production route is also hardware-verified every round
+# (scripts/micro_sym40.py rel err + the flagship bench)
+@pytest.mark.parametrize("make", ["dam_break_2d", "dam_break_3d"])
 def test_density_sym_matches_fold(make):
     from sph_pie_tpu.neighbors import pallas_sym
     from sph_pie_tpu.solvers import wcsph_binned

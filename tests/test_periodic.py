@@ -163,6 +163,10 @@ def test_periodic_pbf_seam_crossing_velocity_min_image():
     assert v[:, 0].mean() > 0.5 * drift
 
 
+@pytest.mark.heavy  # compile-heavy 8-device equivalence (~40 s); default
+# tier keeps test_periodic_density_matches_min_image +
+# test_periodic_step_conserves_and_wraps on the periodic path and
+# test_halo.py on the sharded halo path
 def test_periodic_halo_8dev_matches_single_device():
     """Periodic x sharding (VERDICT r02 #7): a fully periodic drifting box
     stepped by the explicit 8-device halo path must match the

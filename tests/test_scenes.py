@@ -80,6 +80,9 @@ def test_emitter_scene_runs_and_fills():
     assert (d > 0.12 - 3 * float(scene.params.h)).all()
 
 
+@pytest.mark.heavy  # compile-heavy epoch-loop equivalence (~22 s); the
+# default tier keeps test_run_epochs_moving_obstacle_keeps_phase on the
+# epoch path
 def test_run_scene_plain_dam_break_matches_simulate():
     """Epoch loop without emitter == direct binned simulate."""
     from sph_pie_tpu.neighbors import binned as nb
@@ -127,6 +130,8 @@ def test_two_emitters_disjoint_slots_and_both_fire():
     assert (pos[:, 0] < 0.5).any() and (pos[:, 0] > 0.5).any()
 
 
+@pytest.mark.heavy  # compile-heavy (~20 s); test_adaptive_dt_smoke below
+# keeps a default-tier guard on the adaptive integrator
 def test_adaptive_dt_reaches_t_end_and_respects_bounds():
     import numpy as np
 
@@ -146,6 +151,23 @@ def test_adaptive_dt_reaches_t_end_and_respects_bounds():
     st = nb.unbin(scene.bgrid, b, scene.state.capacity)
     pos = np.asarray(st.pos)[np.asarray(st.active)]
     assert np.isfinite(pos).all()
+    assert int(np.asarray(b.overflow)) == 0
+
+
+def test_adaptive_dt_smoke():
+    """Default-tier guard on the adaptive integrator: reaches t_end with
+    finite state (the full bounds contract is the heavy test above)."""
+    import numpy as np
+
+    from sph_pie_tpu.scenes import dam_break_2d
+    from sph_pie_tpu.solvers import adaptive
+
+    scene = dam_break_2d(n_target=200)
+    t_end = 12 * float(scene.params.dt)
+    b, t, k, _ = adaptive.simulate_adaptive(
+        scene.params, scene.bgrid, scene.binned_state(), t_end
+    )
+    assert float(t) >= t_end - 1e-9 and int(k) >= 12
     assert int(np.asarray(b.overflow)) == 0
 
 
