@@ -1,15 +1,21 @@
-"""Benchmark entry point (driver contract: prints ONE JSON line).
+"""Benchmark entry point (driver contract: prints ONE SHORT JSON line).
 
 Flagship metric per BASELINE.json: particle-steps/sec on the 3D dam break
 at 1M particles, single chip. vs_baseline is the fraction of the BASELINE
 north-star target (1e9 particle-steps/sec on a v5e-8); the reference repo
 itself publishes no numbers (BASELINE.md).
 
+Output contract (VERDICT r03 #1): the driver captures only a ~2000-char
+tail of stdout, and the round-3 single line with full per-config detail
+outgrew it — the official metric never parsed (BENCH_r03.json
+"parsed": null). So stdout now carries ONE short headline JSON line
+(metric/value/unit/vs_baseline + a compact ms-per-step summary, well
+under 2000 chars) and the full per-config detail is written to
+``BENCH_DETAIL.json`` next to this file instead of stdout.
+
 Hygiene (VERDICT r02 #5): every timed window is >= 20 steps and repeated
 >= 3 times; rows report the MEDIAN ms/step plus all reps, the rebin count
 over the timed window, and (for the flagship) standalone per-phase times.
-Extra sub-benchmarks (2D 4k demo steps/s — the second metric named in
-BASELINE.json) ride along in "extra".
 """
 
 from __future__ import annotations
@@ -267,17 +273,38 @@ def main() -> int:
     extra[f"dam_break_3d_{flagship_n // 1000}k"] = flag
 
     value = flag["particle_steps_per_sec"]
-    print(
-        json.dumps(
-            {
-                "metric": "particle_steps_per_sec_3d_dam_break_1m",
-                "value": round(value, 1),
-                "unit": "particle-steps/s",
-                "vs_baseline": round(value / NORTH_STAR, 6),
-                "extra": extra,
-            }
-        )
+    headline = {
+        "metric": "particle_steps_per_sec_3d_dam_break_1m",
+        "value": round(value, 1),
+        "unit": "particle-steps/s",
+        "vs_baseline": round(value / NORTH_STAR, 6),
+    }
+
+    # Compact per-config summary (ms/step medians only) — keeps the
+    # stdout line far below the driver's ~2000-char capture window.
+    summary = {}
+    for key, row in extra.items():
+        if isinstance(row, dict) and "ms_per_step" in row:
+            summary[key] = row["ms_per_step"]
+        elif isinstance(row, dict) and "steps_per_sec" in row:
+            summary[key] = {"steps_per_sec": round(row["steps_per_sec"], 1)}
+        elif isinstance(row, str):  # *_error entries
+            summary[key] = row[:80]
+    headline["ms_per_step"] = summary
+
+    # Full detail (reps, rebins, phase splits) goes to a file, not stdout.
+    import os
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump({**headline, "extra": extra}, f, indent=1)
+
+    line = json.dumps(headline)
+    if len(line) > 1800:  # hard guard: never outgrow the capture window
+        line = json.dumps({**headline, "ms_per_step": "see BENCH_DETAIL.json"})
+    print(line)
     return 0
 
 

@@ -93,13 +93,16 @@ def _plan_sym(grid: nb.BinnedGrid):
     cap-general: rows pack cpr = LANE//cap consecutive cells (cap 32 ->
     4 cells/128 lanes exact; cap 40 -> 3 cells/120 lanes + 8 zero-filler
     lanes that behave as empty slots). cap must be a multiple of 8
-    (sublane-aligned lane slices) with at least 2 cells per row (the self
-    slab needs cells c and c+1 in one view)."""
+    (sublane-aligned lane slices) with at least 3 cells per row: a
+    positive-shift slab's window spans cells c+sh-1 .. c+sh+1, so at
+    cpr == 2 (caps 48-64) the c+sh+1 column would fall outside the
+    2-cell view and its pairs would be silently dropped (ADVICE r03)."""
     cap = grid.cap
     cpr = LANE // cap
-    if cap % 8 != 0 or cpr < 2:
+    if cap % 8 != 0 or cpr < 3:
         raise ValueError(
-            f"pallas sym kernels need cap % 8 == 0 and cap <= 64, got {cap}"
+            "pallas sym kernels need cap % 8 == 0 and cap <= 40 "
+            f"(>= 3 cells per 128-lane row), got {cap}"
         )
     shifts = tuple(grid.slab_shifts())
     reach = max(abs(s) for s in shifts)
@@ -409,7 +412,9 @@ def _build_density(grid: nb.BinnedGrid, interpret: bool = False):
 def density_sym(params, grid: nb.BinnedGrid, b, interpret: bool = False):
     """Drop-in for wcsph_binned._density (single device).
 
-    Pairs computed once; the W(0) self term rides an elementwise pass."""
+    Pairs computed once; the W(0) self term rides an elementwise pass.
+    Supports grid caps {8, 16, 24, 32, 40} only (cap % 8 == 0 and
+    >= 3 cells per 128-lane row — see _plan_sym); raises otherwise."""
     plan, fn = _build_density(grid, interpret)
     cols = [b.pos[:, k] for k in range(grid.dim)] + [b.mass]
     packed = _pack_rows(grid, plan, cols)
@@ -662,7 +667,9 @@ def _build_forces(
 
 
 def forces_sym(params, grid: nb.BinnedGrid, b, interpret: bool = False):
-    """Drop-in for wcsph_binned._forces (single device)."""
+    """Drop-in for wcsph_binned._forces (single device).
+
+    Same cap domain as density_sym: caps {8, 16, 24, 32, 40} only."""
     use_coh = bool(params.use_cohesion)
     use_x = bool(params.use_xsph)
     plan, fn, n_out = _build_forces(grid, use_coh, use_x, interpret)

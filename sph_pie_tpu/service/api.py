@@ -19,7 +19,9 @@ from __future__ import annotations
 import json
 import queue
 import re
+import sys
 import threading
+import time
 from http.cookies import SimpleCookie
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -52,9 +54,26 @@ class HttpError(Exception):
 class App:
     """Service wiring: config -> storage/webhook/users/sessions/roles."""
 
-    def __init__(self, config_path="config/app-config.json", data_dir=None, env=None):
+    def __init__(
+        self,
+        config_path="config/app-config.json",
+        data_dir=None,
+        env=None,
+        access_log=None,
+    ):
         self.config_store = ConfigStore(config_path, env=env)
         self.config = self.config_store.load()
+        # Per-request access log (the reference's morgan('dev'),
+        # server/index.js:70): one line per request with method, path,
+        # status and duration. Default OFF for embedded/test use; serve()
+        # turns it on (overridable via SPH_PIE_ACCESS_LOG / config
+        # "accessLog").
+        self.access_log = (
+            bool(access_log)
+            if access_log is not None
+            else bool(self.config.get("accessLog", False))
+        )
+        self.access_logger = lambda line: print(line, file=sys.stderr, flush=True)
         if data_dir:  # test convenience: redirect all file state
             self.config["sqlite"]["filename"] = f"{data_dir}/sph_pie.sqlite"
             self.config["jsonfile"]["directory"] = f"{data_dir}/runs"
@@ -210,6 +229,7 @@ def make_handler(app: App):
 
         def _send(self, status: int, payload, headers=None, raw=None, ctype="application/json"):
             body = raw if raw is not None else json.dumps(payload).encode()
+            self._last_status = status
             self.send_response(status)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
@@ -282,6 +302,8 @@ def make_handler(app: App):
             raise HttpError(404, f"no route for {method} {path}")
 
         def _handle(self, method):
+            t0 = time.time()
+            self._last_status = 0  # updated by _send
             try:
                 self._route(method)
             except HttpError as e:
@@ -294,6 +316,13 @@ def make_handler(app: App):
                 self._send(404, {"error": f"not found: {e}"})
             except Exception as e:  # JSON error handler (index.js:526-536)
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
+            finally:
+                if app.access_log:
+                    dur_ms = (time.time() - t0) * 1e3
+                    app.access_logger(
+                        f"[http] {method} {self.path} "
+                        f"{self._last_status} {dur_ms:.1f} ms"
+                    )
 
         def do_GET(self):
             self._handle("GET")
@@ -756,7 +785,12 @@ def make_server(app: App, host: str | None = None, port: int | None = None):
 
 
 def serve(config_path="config/app-config.json"):
-    app = App(config_path)
+    import os
+
+    # Access log defaults ON when serving (morgan analogue); set
+    # SPH_PIE_ACCESS_LOG=0 to silence.
+    on = os.environ.get("SPH_PIE_ACCESS_LOG", "1").lower() not in ("0", "false")
+    app = App(config_path, access_log=on)
     srv = make_server(app)
     print(f"sph-pie-tpu service on http://{srv.server_address[0]}:{srv.server_address[1]}")
     srv.serve_forever()

@@ -245,3 +245,33 @@ def test_spa_shell_serves_step_logging_ui(server):
     for needle in ("ISSUE_MAP", "collectStepPayload", "openStepEditModal",
                    "isOperatorOnlyClient", "METRIC_DEFS", "openRowMenu"):
         assert needle in js, needle
+
+
+def test_access_log_format(server):
+    """morgan('dev') analogue (reference server/index.js:70): one line per
+    request with method, path, status and duration; off by default for
+    embedded use, on when enabled (serve() turns it on)."""
+    import re
+
+    c, app = server
+    # default off: no logger calls
+    lines = []
+    app.access_logger = lines.append
+    c.req("GET", "/api/health", expect=200)
+    assert lines == []
+
+    app.access_log = True
+    c.req("GET", "/api/health", expect=200)
+    c.req("GET", "/api/nope", expect=404)
+    # the line is emitted just after the response is written — poll briefly
+    import time
+
+    for _ in range(100):
+        if len(lines) >= 2:
+            break
+        time.sleep(0.01)
+    assert len(lines) == 2
+    assert re.fullmatch(
+        r"\[http\] GET /api/health 200 \d+\.\d ms", lines[0]
+    ), lines[0]
+    assert re.fullmatch(r"\[http\] GET /api/nope 404 \d+\.\d ms", lines[1])

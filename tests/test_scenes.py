@@ -294,3 +294,54 @@ def test_run_epochs_moving_obstacle_keeps_phase():
         outs[label] = np.asarray(st.pos)[np.asarray(st.active)]
     err = np.abs(outs["one"] - outs["two"]).max()
     assert err < 1e-3, err
+
+
+def test_dam_break_3d_initial_cap_headroom():
+    """Default-tier guard for the pinned skin-0.40/cap-40 3D default
+    (ADVICE r03): the dam column's initial lattice must bin with zero
+    overflow AND leave transient headroom (measured full-run p100
+    occupancy at this geometry is ~38 of 40; dynamics add ~8-10 slots
+    over the initial lattice). A default change that eats the headroom —
+    cap lowered, skin raised without a cap bump — fails here instead of
+    only showing in bench JSON. Occupancy is resolution-invariant for
+    this geometry ((cell/dx)^3 fixed by h_over_dx and skin). The dynamic
+    60-step overflow check is the heavy-tier twin below.
+
+    n_target matches test_pallas_density's 3D case so the expensive
+    binned_state() compile is shared within the pytest process."""
+    import numpy as np
+
+    from sph_pie_tpu.scenes import dam_break_3d
+
+    scene = dam_break_3d(n_target=1500)
+    g = scene.bgrid
+    assert g.cap == 40  # the pinned default this test guards
+    b = scene.binned_state()
+    assert int(np.asarray(b.overflow)) == 0
+    occ = np.asarray(b.valid).reshape(g.num_cells, g.cap).sum(axis=1)
+    p100 = int(occ.max())
+    # initial lattice occupancy measured 28-30 at this geometry; dynamics
+    # peak ~8-10 higher (p100 38 at 1M) — require the same margin
+    assert p100 <= g.cap - 9, (
+        f"initial occupancy p100 {p100} leaves < 9 slots of transient "
+        f"headroom at cap {g.cap} (full-run peak is ~+9)"
+    )
+
+
+@pytest.mark.heavy
+def test_dam_break_3d_dynamic_cap_headroom():
+    """Heavy-tier twin of the initial-occupancy guard: 60 dynamic steps of
+    the default 3D scene must not overflow cap 40 (transient clustering
+    beyond the initial lattice is what the 9-slot margin above covers)."""
+    import numpy as np
+
+    from sph_pie_tpu.scenes import dam_break_3d
+    from sph_pie_tpu.solvers import wcsph_binned
+
+    scene = dam_break_3d(n_target=1500)
+    b = wcsph_binned.simulate(scene.params, scene.bgrid, scene.binned_state(), 60)
+    assert int(np.asarray(b.overflow)) == 0
+    from sph_pie_tpu.neighbors import binned as nb
+
+    st = nb.unbin(scene.bgrid, b, scene.state.capacity)
+    assert np.isfinite(np.asarray(st.pos)[np.asarray(st.active)]).all()
