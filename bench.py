@@ -241,8 +241,13 @@ def main() -> int:
     from sph_pie_tpu.scenes import dam_break_2d, dam_break_3d
 
     extra = {}
-    # Secondary: 2D 4k demo (fast, always runs).
-    extra["dam_break_2d_4k"] = _measure(dam_break_2d(4096), 200, 1000)
+    # Secondary: 2D 4k demo (fast, always runs). Settle 2500 steps first:
+    # the r03 3-rep spread was 2.2x because a 200-step warm leaves the
+    # column mid-collapse, so each 1000-step rep timed a different
+    # dynamical regime (rebin rate falls as the flow settles); timing the
+    # quasi-steady slosh + 5 reps brings the spread under 1.2x
+    # (VERDICT r03 #7).
+    extra["dam_break_2d_4k"] = _measure(dam_break_2d(4096), 2500, 1000, reps=5)
     for key, fn in (
         ("emitter_2d_4k", _measure_emitter),
         # BASELINE config #3: 3D dam break at 100k with the cohesion /

@@ -208,3 +208,42 @@ def test_pbf_epilogue_ride_matches_gather():
         )
     for a, b_ in zip(outs["gather"], outs["ride"]):
         np.testing.assert_allclose(a, b_, rtol=0, atol=1e-6)
+
+
+def test_pbf_flagship_quality_guard_default_tier():
+    """DEFAULT-TIER quality gate on pbf.flagship_params() — the exact
+    config bench.py times at 1M (VERDICT r03 #4).
+
+    Why it exists: round 3 briefly shipped perf tuples that failed the
+    500-step slow-tier physics bars, and default CI never noticed because
+    every PBF quality test was slow/heavy-marked. This short-horizon bar
+    runs in ~1 min on the 1-CPU mesh and was calibrated
+    (scripts/calib_pbf_guard.py, n_target=300, 350 steps) to separate the
+    shipped config from both retracted tuples:
+
+        config                 spread   vmax   rho_q90
+        flagship (2,0.9,.0625)  2.40h   5.98    1.018   <- must pass
+        retracted (3,0.8,1/24)  0.71h   5.58    1.015   <- fails spread
+        retracted (3,0.8,.0625) 3.21h  10.09    1.015   <- fails vmax
+        default   (4,0.8,.075)  1.41h   1.68    1.015   (slow-tier gated)
+
+    Bars: spread > 1.2h (column actually flows), vmax < 9 (no projection
+    blow-up riding the speed clamp), rho_q90 < 1.10 (bulk stays near
+    rest). The full 500-step bars remain in the slow tier."""
+    scene = builders.dam_break_2d(n_target=300)
+    pp = pbf.flagship_params()
+    b = scene.binned_state()
+    x0 = np.asarray(scene.state.pos)[np.asarray(scene.state.active)][:, 0].max()
+    b = pbf.simulate(scene.params, scene.bgrid, pp, b, 350)
+    assert int(b.overflow) == 0
+    st = nb.unbin(scene.bgrid, b, scene.state.capacity)
+    act = np.asarray(st.active)
+    pos = np.asarray(st.pos)[act]
+    h = float(scene.params.h)
+    assert np.isfinite(pos).all()
+    spread = (pos[:, 0].max() - x0) / h
+    assert spread > 1.2, f"flagship config froze: spread {spread:.2f}h"
+    vmax = np.abs(np.asarray(st.vel)[act]).max()
+    assert vmax < 9.0, f"flagship config blows up: vmax {vmax:.2f}"
+    q90 = np.quantile(np.asarray(st.density)[act], 0.9)
+    assert q90 < 1.10 * float(scene.params.rest_density), q90
