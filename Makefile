@@ -8,13 +8,34 @@ PY ?= python
 check:
 	$(PY) -m pytest tests/ -x -q
 
-check-heavy:
-	$(PY) -m pytest tests/ -q -m heavy
+# The heavy tier (41 compile-heavy tests) does NOT fit one 10-minute
+# command on the 1-CPU mesh (VERDICT r03 #8). Run it as three serial
+# chunks, each < 10 min; `make check-heavy` runs them back-to-back (fine
+# without a per-command timeout; budget ~20 min total).
+check-heavy-1:
+	$(PY) -m pytest tests/test_balance.py tests/test_binned.py \
+	  tests/test_calendar_frontend.py tests/test_checkpoint_config.py \
+	  tests/test_ghost_walls.py tests/test_graft_entry.py -q -m heavy
 
-check-all:
-	$(PY) -m pytest tests/ -q -m ""
+check-heavy-2:
+	$(PY) -m pytest tests/test_halo.py tests/test_pallas_pair.py \
+	  tests/test_pallas_sym.py tests/test_pbf.py -q -m heavy
+
+check-heavy-3:
+	$(PY) -m pytest tests/test_periodic.py tests/test_scenes.py \
+	  tests/test_sharding.py -q -m heavy
+
+check-heavy: check-heavy-1 check-heavy-2 check-heavy-3
+
+# Slow contract tests (3): trajectory match vs the CPU oracle + PBF
+# quality bars. ~10-15 min on the 1-CPU mesh.
+check-slow:
+	$(PY) -m pytest tests/ -q -m slow
+
+check-all: check check-heavy check-slow
 
 bench:
 	PYTHONPATH=. $(PY) bench.py
 
-.PHONY: check check-heavy check-all bench
+.PHONY: check check-heavy check-heavy-1 check-heavy-2 check-heavy-3 \
+  check-slow check-all bench

@@ -277,6 +277,21 @@ def main() -> int:
         flag = _measure(dam_break_3d(flagship_n), 5, 20, reps=3)
     extra[f"dam_break_3d_{flagship_n // 1000}k"] = flag
 
+    # BASELINE config #5 per-chip share (VERDICT r03 #3): 16M over 8 chips
+    # is 2M/chip, and membudget says 4M fits a single v5e with >10 GB to
+    # spare — measure the actual per-chip perf at those scales (the 47%
+    # window-plumbing share may shift with grid size). Phase split on the
+    # 2M row; 4M is time-only.
+    if flagship_n == 1_000_000:
+        for scale_n, ph in ((2_000_000, True), (4_000_000, False)):
+            key = f"dam_break_3d_{scale_n // 1000}k"
+            try:
+                extra[key] = _measure(
+                    dam_break_3d(scale_n), 5, 20, reps=3, phases=ph
+                )
+            except Exception as e:
+                extra[f"{key}_error"] = f"{type(e).__name__}: {e}"[:200]
+
     value = flag["particle_steps_per_sec"]
     headline = {
         "metric": "particle_steps_per_sec_3d_dam_break_1m",

@@ -181,7 +181,15 @@ def _build_forces_mxu(grid: nb.BinnedGrid, bf16: bool, interpret: bool = False):
                         gw = c_spiky * qs * qs
                         m_j = win[F_MASS]
                         p_term = hm(F_PR2) + win[F_PR2]
-                        press = (m_j * p_term) * (gw * inv_r)
+                        # Self-pair mask: the fold zeroes the self term
+                        # implicitly (coef * d_k with d_k == 0); the moment
+                        # form telescopes it as the difference of two
+                        # inv_r-amplified (~1/sqrt(tiny)) products — f32
+                        # cancellation error swamps the result (the exact
+                        # 37%-error failure of micro_mxu.py's first cut).
+                        # Zero the plane BEFORE the dot where r2 == 0.
+                        gwr = jnp.where(r2 > 0.0, gw * inv_r, 0.0)
+                        press = (m_j * p_term) * gwr
                         visc_w = win[F_MRHO] * (c_visc * qs)
                         qp = jnp.maximum(h2 - r2, 0.0)
                         xw = win[F_MRHO] * ((c_poly6 * qp) * qp * qp)
