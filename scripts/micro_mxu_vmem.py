@@ -86,6 +86,12 @@ def _build_forces_mxu(grid: nb.BinnedGrid, bf16: bool, interpret: bool = False):
     nr = plan["nr"]
     tiny = 1e-12
     dot_dtype = jnp.bfloat16 if bf16 else jnp.float32
+    # f32 arm: HIGHEST precision — the TPU default lowers an f32 dot to
+    # ONE bf16 MXU pass (measured rel err 3.6e-2 on hardware vs 8e-7 in
+    # interpret mode, the same bf16-DEFAULT error micro_mxu.py recorded);
+    # HIGHEST runs the 3/6-pass decomposition. bf16 arm: operands are
+    # already bf16, a single pass is exact for them.
+    dot_prec = None if bf16 else lax.Precision.HIGHEST
     dnums = (((2,), (2,)), ((0,), (0,)))  # contract LANE, batch rows
 
     def kernel(packed_hbm, flags_ref, out_ref, home_s, slab_s, sem):
@@ -201,6 +207,7 @@ def _build_forces_mxu(grid: nb.BinnedGrid, bf16: bool, interpret: bool = False):
                             planes,
                             feats,
                             dnums,
+                            precision=dot_prec,
                             preferred_element_type=jnp.float32,
                         )  # [rows, 3*RCH, NF]
                         mp = mom[:, :RCH]
@@ -259,6 +266,19 @@ def sync(x):
 
 
 def main():
+    # Persistent compile cache: the Mosaic builds here run ~5 min EACH at
+    # 1M (144 unrolled dot blocks); iterating without a cache burns the
+    # whole session on recompiles.
+    import os
+
+    d = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".jax_cache",
+    )
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     scene = dam_break_3d(
         n, skin_frac=0.25, bcap=32, surface_tension=0.0, xsph_eps=0.05
@@ -275,21 +295,25 @@ def main():
     b = replace(b, density=rho, pressure=eos.tait_pressure(params, rho))
     sync(b.travel)
 
+    # vpu (shipped forces_pallas) is dropped from the default arm set —
+    # its 0.73-0.89x-of-fold number is already in the ledger (ROADMAP
+    # item 4) and each extra Mosaic arm costs ~5 min of compile.
     arms = {
         "fold": jax.jit(lambda bb: wcsph_binned._forces(params, grid, bb)),
-        "vpu": jax.jit(lambda bb: forces_pallas(params, grid, bb)),
         "mxu": jax.jit(lambda bb: forces_mxu(params, grid, bb)),
         "mxu_bf16": jax.jit(
             lambda bb: forces_mxu(params, grid, bb, bf16=True)
         ),
     }
+    if "--vpu" in sys.argv:
+        arms["vpu"] = jax.jit(lambda bb: forces_pallas(params, grid, bb))
 
     # parity first (vs fold)
     ref_acc, ref_xs = arms["fold"](b)
     ref_acc = np.asarray(ref_acc)
     valid = np.asarray(b.valid)
     scale = float(np.abs(ref_acc[valid]).max())
-    for name in ("vpu", "mxu", "mxu_bf16"):
+    for name in [k for k in arms if k != "fold"]:
         acc, xs = arms[name](b)
         err = float(np.abs(np.asarray(acc)[valid] - ref_acc[valid]).max() / scale)
         print(f"parity {name}: rel err {err:.3e}", flush=True)
