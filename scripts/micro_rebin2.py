@@ -101,6 +101,14 @@ def main():
     f_plain = jax.jit(lambda s, c, o: scats(s, c, o))
     f_hint = jax.jit(lambda s, c, o: scats(
         s, c, o, indices_are_sorted=True, unique_indices=True))
+    # Deployable variant: overflow sentinels break sortedness (a dropped
+    # row lands mid-array), and the shared sentinel S breaks uniqueness —
+    # but sentinel S+iota is provably UNIQUE regardless of overflow, so
+    # unique_indices=True alone is always safe once the sentinel is
+    # de-shared (mode="drop" still discards everything >= S).
+    iota_k = jnp.arange(K, dtype=jnp.int32)
+    f_uniq = jax.jit(lambda s, c, o: scats(
+        jnp.where(s < S, s, S + iota_k), c, o, unique_indices=True))
     f_s1p = jax.jit(lambda s, c: jnp.zeros((S,), c.dtype).at[s].set(
         c, mode="drop"))
     f_s1h = jax.jit(lambda s, c: jnp.zeros((S,), c.dtype).at[s].set(
@@ -118,6 +126,7 @@ def main():
         ("sortrank", lambda: f_sortrank(pos, vel, mass, dens)),
         ("scat_plain", lambda: f_plain(slot, cols, sown)),
         ("scat_hint", lambda: f_hint(slot, cols, sown)),
+        ("scat_uniq", lambda: f_uniq(slot, cols, sown)),
         ("scat1_plain", lambda: f_s1p(slot, cols[0])),
         ("scat1_hint", lambda: f_s1h(slot, cols[0])),
         ("zeros9", f_z9),
