@@ -1,4 +1,4 @@
-"""Hardware microbench: SYMMETRIC Pallas pair kernels vs the XLA fold.
+"""Hardware microbench: the symmetric Pallas DENSITY kernel vs the XLA fold.
 
 Run on the real TPU:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_pallas_sym.py [N]
@@ -11,11 +11,9 @@ import time
 import jax
 import numpy as np
 
-from sph_pie_tpu.kernels import eos
 from sph_pie_tpu.neighbors import pallas_sym
 from sph_pie_tpu.scenes import dam_break_3d
 from sph_pie_tpu.solvers import wcsph_binned
-from sph_pie_tpu.utils.struct import replace
 
 
 def sync(x):
@@ -63,26 +61,8 @@ def main():
         flush=True,
     )
 
-    b2 = replace(
-        b, density=rho_fold, pressure=eos.tait_pressure(scene.params, rho_fold)
-    )
-    ffold = jax.jit(lambda bb: wcsph_binned._forces(scene.params, g, bb))
-    t_ffold, (acc_f, xs_f) = timeit(ffold, b2)
-    print(json.dumps({"forces_fold_ms": round(t_ffold, 2)}), flush=True)
-
-    fpal = jax.jit(lambda bb: pallas_sym.forces_sym(scene.params, g, bb))
-    t_fpal, (acc_p, xs_p) = timeit(fpal, b2)
-    print(
-        json.dumps(
-            {
-                "forces_sym_ms": round(t_fpal, 2),
-                "acc_rel_err": relerr(acc_f, acc_p, b.valid),
-                "xsph_rel_err": relerr(xs_f, xs_p, b.valid),
-                "speedup": round(t_ffold / t_fpal, 2),
-            }
-        ),
-        flush=True,
-    )
+    # (The forces_sym arm was trimmed with the kernel in round 4 —
+    # ROADMAP ledger item 18; see git history for the harness.)
 
 
 if __name__ == "__main__":

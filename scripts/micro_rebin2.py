@@ -40,7 +40,11 @@ from sph_pie_tpu.solvers import pbf
 
 
 def sync(x):
-    return float(np.asarray(jax.device_get(jax.tree.leaves(x)[0]).ravel()[0]))
+    # Scalar-only readback: index on device FIRST. device_get of the whole
+    # leaf ships the full array through the tunnel (43-128 MB here), which
+    # swamps every timing (observed: zeros9 "costing" 320 ms).
+    leaf = jax.tree.leaves(x)[0]
+    return float(np.asarray(leaf.ravel()[0]))
 
 
 def main():

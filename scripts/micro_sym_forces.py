@@ -1,5 +1,11 @@
-"""Hardware A/B: sym Pallas FORCES kernel vs the XLA fold (ask: VERDICT
+"""HISTORICAL harness — the kernel it measures was trimmed.
+
+Hardware A/B: sym Pallas FORCES kernel vs the XLA fold (ask: VERDICT
 r03 #9 / ROADMAP round-4 starter 2c — trim-or-route decision).
+OUTCOME (v5e 1M skin 0.40/cap 40, 2026-08-19): fold 89.7 ms vs sym40
+151.4 = 0.59x, rel err 7.4e-7 — DEAD; the forces half of
+neighbors/pallas_sym.py was cut (ROADMAP ledger item 18). To re-run,
+check out a revision at or before commit 2f29983.
 
 The forces half of neighbors/pallas_sym.py measured 0.73-0.89x the fold
 on the round-2/3 toolchain and is routed nowhere by default. One

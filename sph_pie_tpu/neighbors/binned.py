@@ -93,14 +93,16 @@ class BinnedGrid:
                                # cells) at ~zero cost: window lanes cover
                                # the full cap either way (3*cap <= 128 is
                                # one VPU lane tile), only home rows pay.
-    pair_kernel: str = "auto"  # "fold" = XLA slab fold; "sym" = symmetric
-                               # Pallas kernels (neighbors/pallas_sym)
-                               # for BOTH phases; "auto" (default) = sym
-                               # DENSITY on the TPU backend for grids
-                               # >= 20k cells (measured 1.39x at 1M,
-                               # 1.17x at 100k on v5e), fold elsewhere —
-                               # forces stays on the fold (Pallas forces
-                               # measured 0.75x even at 1M; ROADMAP).
+    pair_kernel: str = "auto"  # "fold" = XLA slab fold; "sym" = the
+                               # symmetric Pallas DENSITY kernel
+                               # (neighbors/pallas_sym) on any backend;
+                               # "auto" (default) = sym density on the
+                               # TPU backend for grids >= 20k cells
+                               # (measured 1.39x at 1M, 1.17x at 100k on
+                               # v5e), fold elsewhere — forces is always
+                               # the fold (a Pallas forces kernel
+                               # measured 0.59-0.89x and was trimmed;
+                               # ROADMAP ledger items 4/18).
     periodic: tuple[bool, ...] = ()  # per GRID axis (axis_order space):
                                # True = wrap. Periodic axes fill their
                                # ghost-border cells each step with images

@@ -1,4 +1,4 @@
-"""Symmetric (pairs-once) Pallas TPU pair kernels.
+"""Symmetric (pairs-once) Pallas TPU DENSITY kernel.
 
 Why: the VPU roofline measured on this chip (scripts/micro_vpu.py) is
 ~1.1 TFLOP/s f32 and bf16 is NOT faster — the XLA slab fold already runs
@@ -8,6 +8,14 @@ once and accumulated to both sides. The XLA attempt (binned.slab_fold_sym)
 measured SLOWER because XLA materialises the window-side scatter-adds as
 big HBM read-modify-writes per slab; in Pallas the window-side accumulator
 lives in VMEM for the whole block and is emitted once.
+
+Only the density half lives here: it wins 1.29-1.39x over the fold at 1M
+and is routed by default on TPU (wcsph_binned._use_pallas_sym). A forces
+half existed through round 4 and was measured DEAD three times (0.73-0.89x
+at cap 32, 0.59x at the shipped cap-40 geometry — ROADMAP ledger items 4
+and 18; Mosaic's pair-op throughput plus the dual-side force deposits
+lose more than pairs-once saves); it was trimmed per VERDICT r03 #9 —
+see git history (scripts/micro_sym_forces.py documents the measurement).
 
 Slab selection (vs the 3^(dim-1) one-sided slabs):
   * positive-shift slabs (4 in 3D, 1 in 2D): home cell c pairs the full
@@ -30,13 +38,9 @@ occupancy / 8), and the 8-rank home chunks are wrapped in pl.when — home
 pair work scales with the block's real depth (rank r occupied iff cell
 occupancy > r, the counting-sort invariant).
 
-Traced FluidParams coefficients (viscosity, surface tension) ride the aux
-row as lane scalars — they never recompile the kernel and keep the output
-count at one array per physical field.
-
-Reference behavior parity: same pair math as solvers/wcsph_binned._forces
-(Mueller-03 pressure/viscosity, Akinci cohesion, XSPH), which itself
-mirrors the CPU/native oracles. cap-general at cap % 8 == 0, >= 2 cells
+Reference behavior parity: same pair math as solvers/wcsph_binned._density
+(Mueller-03 poly6), which itself mirrors the CPU/native oracles.
+cap-general at cap % 8 == 0, >= 2 cells
 per 128-lane row: cap 32 packs 4 cells/row exactly; cap 40 (the measured
 skin-0.40 optimum, scenes/builders.py) packs 3 cells/row with 8 zero
 filler lanes, which behave as empty slots (mass 0 -> zero weight).
@@ -45,7 +49,6 @@ filler lanes, which behave as empty slots (mass 0 -> zero weight).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -61,8 +64,6 @@ from sph_pie_tpu.neighbors.pallas_pair import (
     _grid_h,
     _pack_rows,
     _poly6_c,
-    _spiky_c,
-    _visc_c,
 )
 
 import os
@@ -80,11 +81,6 @@ NOCOND = os.environ.get("SPH_PIE_SYM_NOCOND", "1") == "1"
 # VMEM-resident working set instead of spilling (the [64, cap, 128] whole-
 # block tiles measured ~0.5x XLA's per-op throughput).
 RGRP = int(os.environ.get("SPH_PIE_SYM_RGRP", "8"))
-# Ablation probe for the forces kernel ("nowin" drops the window-side
-# sublane reductions, "nohome" the home-side lane reductions) — isolates
-# which reduction family costs the Mosaic/XLA efficiency gap. NOT correct
-# physics; only for scripts/micro_pallas_sym.py timing.
-ABLATE = os.environ.get("SPH_PIE_SYM_ABLATE", "")
 
 
 def _plan_sym(grid: nb.BinnedGrid):
@@ -426,280 +422,3 @@ def density_sym(params, grid: nb.BinnedGrid, b, interpret: bool = False):
     rho = jnp.where(b.valid, rho, 0.0)
     return jnp.maximum(rho, 1e-6 * params.rest_density)
 
-
-@functools.lru_cache(maxsize=32)
-def _build_forces(
-    grid: nb.BinnedGrid,
-    use_cohesion: bool,
-    use_xsph: bool,
-    interpret: bool = False,
-):
-    """Symmetric forces kernel.
-
-    Fields: p_k..., v_k..., mass, pr2, inv_rho  (m_rho = mass*inv_rho is
-    formed in-register). Aux lanes 8/9 carry traced viscosity mu and
-    surface-tension st, so outputs are final per-axis sums:
-      acc_k:  sum over pairs of  m_other * A_k,
-              A_k = -(p_term*gw + st*coh)*d_k/r + mu*invrho_i*invrho_j*lap*dv_k
-      xsph_k: sum of (m/rho)_other * W * dv_k   (eps applied outside)
-    Window-side gets the exact negations (antisymmetric core)."""
-    plan = _plan_sym(grid)
-    cap = grid.cap
-    dim = grid.dim
-    h = _grid_h(grid)
-    h2 = h * h
-    c_spiky = _spiky_c(dim, h)
-    c_visc = _visc_c(dim, h)
-    c_poly6 = _poly6_c(dim, h)
-    c_coh = 32.0 / (math.pi * h ** (9 if dim == 3 else 8))
-    h6_64 = h**6 / 64.0
-    F_MASS, F_PR2, F_IRHO = 2 * dim, 2 * dim + 1, 2 * dim + 2
-    n_fields = 2 * dim + 3
-    n_out = (2 if use_xsph else 1) * dim
-    slabs = plan["slabs"]
-    rows_blk = plan["rows_blk"]
-    nr = plan["nr"]
-    cpr = plan["cpr"]
-    chunks = [(o, min(RCH, cap - o)) for o in range(0, cap, RCH)]
-    lane_fill = LANE - cpr * cap
-    tiny = 1e-12
-
-    def kernel(packed_hbm, aux_ref, hout_ref, wout_ref, home_s, slab_s, sem):
-        i = pl.program_id(0)
-        for j in range(n_out):
-            hout_ref[j] = jnp.zeros((rows_blk, LANE), jnp.float32)
-        for j in range(len(slabs) * n_out):
-            wout_ref[j] = jnp.zeros((nr, LANE), jnp.float32)
-        occ = aux_ref[0, 0, 0]
-        n_chunks = aux_ref[0, 0, 1]
-        mu = aux_ref[0, 0, 8]
-        st = aux_ref[0, 0, 9]
-
-        @pl.when(occ != 0)
-        def _():
-            hrow0 = plan["h0"] + i * rows_blk
-            pltpu.make_async_copy(
-                packed_hbm.at[:, pl.ds(hrow0, rows_blk)], home_s, sem.at[0]
-            ).start()
-            for s, (q0, _, _) in enumerate(slabs):
-                pltpu.make_async_copy(
-                    packed_hbm.at[:, pl.ds(i * rows_blk + q0, nr)],
-                    slab_s.at[s],
-                    sem.at[1 + s],
-                ).start()
-            pltpu.make_async_copy(
-                packed_hbm.at[:, pl.ds(hrow0, rows_blk)], home_s, sem.at[0]
-            ).wait()
-
-            for s, (q0, a0, is_self) in enumerate(slabs):
-                pltpu.make_async_copy(
-                    packed_hbm.at[:, pl.ds(i * rows_blk + q0, nr)],
-                    slab_s.at[s],
-                    sem.at[1 + s],
-                ).wait()
-                views = [
-                    _class_views(slab_s[s, f], cap) for f in range(n_fields)
-                ]
-                cls_h = []  # per class: per output [rows_blk, cap]
-                n_rg = rows_blk // RGRP
-                for b in range(cpr):
-                    a = (b + a0) % cpr
-                    roff = (b + a0) // cpr
-                    h_rg = [[] for _ in range(n_out)]
-                    w_rg = [[] for _ in range(n_out)]
-                    for rg in range(n_rg):
-                        r0 = rg * RGRP
-
-                        def win(f, r0=r0):
-                            return views[f][a][
-                                roff + r0 : roff + r0 + RGRP
-                            ][:, None, :]
-
-                        def hsl(f, b, coff, csz, r0=r0):
-                            return home_s[f][
-                                r0 : r0 + RGRP,
-                                b * cap + coff : b * cap + coff + csz,
-                            ]
-
-                        h_rc = [[] for _ in range(n_out)]
-                        w_dep = [
-                            jnp.zeros((RGRP, LANE), jnp.float32)
-                            for _ in range(n_out)
-                        ]
-                        for ci, (coff, csz) in enumerate(chunks):
-
-                            def chunk(
-                                coff=coff, csz=csz, b=b, a=a, win=win, hsl=hsl
-                            ):
-                                d = []
-                                r2 = jnp.zeros(
-                                    (RGRP, csz, LANE), jnp.float32
-                                )
-                                for k in range(dim):
-                                    dk = hsl(k, b, coff, csz)[:, :, None] - win(k)
-                                    d.append(dk)
-                                    r2 = r2 + dk * dk
-                                inv_r = lax.rsqrt(jnp.maximum(r2, tiny))
-                                r = r2 * inv_r
-                                qs = jnp.maximum(h - r, 0.0)
-                                gw = c_spiky * qs * qs
-                                if is_self:
-                                    gw = jnp.where(_tri_mask(cap, coff, csz)[None], gw, 0.0)
-                                p_term = hsl(F_PR2, b, coff, csz)[:, :, None] + win(F_PR2)
-                                radial = p_term * gw
-                                if use_cohesion:
-                                    hr3 = qs * qs * qs
-                                    r3 = r2 * r
-                                    prod = hr3 * r3
-                                    cval = jnp.where(
-                                        r <= 0.5 * h, 2.0 * prod - h6_64, prod
-                                    )
-                                    coh = jnp.where(
-                                        (r > 0.0) & (r < h), c_coh * cval, 0.0
-                                    )
-                                    if is_self:
-                                        coh = jnp.where(_tri_mask(cap, coff, csz)[None], coh, 0.0)
-                                    radial = radial + st * coh
-                                radial = radial * inv_r
-                                lap = c_visc * qs
-                                if is_self:
-                                    lap = jnp.where(_tri_mask(cap, coff, csz)[None], lap, 0.0)
-                                g = (
-                                    (mu * hsl(F_IRHO, b, coff, csz)[:, :, None])
-                                    * win(F_IRHO)
-                                ) * lap
-                                m_h = hsl(F_MASS, b, coff, csz)[:, :, None]
-                                m_w = win(F_MASS)
-                                outs = []
-                                if use_xsph:
-                                    qp = jnp.maximum(h2 - r2, 0.0)
-                                    wk = (c_poly6 * qp) * qp * qp
-                                    if is_self:
-                                        wk = jnp.where(_tri_mask(cap, coff, csz)[None], wk, 0.0)
-                                    mr_h = m_h * hsl(F_IRHO, b, coff, csz)[:, :, None]
-                                    mr_w = m_w * win(F_IRHO)
-                                for k in range(dim):
-                                    dv = win(dim + k) - hsl(dim + k, b, coff, csz)[:, :, None]
-                                    A = g * dv - radial * d[k]
-                                    h_red = (
-                                        jnp.zeros((RGRP, csz), jnp.float32)
-                                        if ABLATE == "nohome"
-                                        else jnp.sum(m_w * A, axis=2)
-                                    )
-                                    w_red = (
-                                        jnp.zeros((RGRP, LANE), jnp.float32)
-                                        if ABLATE == "nowin"
-                                        else -jnp.sum(m_h * A, axis=1)
-                                    )
-                                    outs.append((h_red, w_red))
-                                if use_xsph:
-                                    for k in range(dim):
-                                        dv = (
-                                            win(dim + k)
-                                            - hsl(dim + k, b, coff, csz)[:, :, None]
-                                        )
-                                        X = wk * dv
-                                        outs.append(
-                                            (
-                                                jnp.sum(mr_w * X, axis=2),
-                                                -jnp.sum(mr_h * X, axis=1),
-                                            )
-                                        )
-                                return tuple(x for o in outs for x in o)
-
-                            zero = tuple(
-                                x
-                                for _ in range(n_out)
-                                for x in (
-                                    jnp.zeros((RGRP, csz), jnp.float32),
-                                    jnp.zeros((RGRP, LANE), jnp.float32),
-                                )
-                            )
-                            if NOCOND:
-                                res = chunk()
-                            else:
-                                res = lax.cond(
-                                    ci < n_chunks, chunk, lambda: zero
-                                )
-                            for j in range(n_out):
-                                h_rc[j].append(res[2 * j])
-                                w_dep[j] = w_dep[j] + res[2 * j + 1]
-                        for j in range(n_out):
-                            h_rg[j].append(
-                                jnp.concatenate(h_rc[j], axis=1)
-                            )
-                            w_rg[j].append(w_dep[j])
-                    cls_h.append(
-                        [
-                            jnp.concatenate(h_rg[j], axis=0)
-                            for j in range(n_out)
-                        ]
-                    )
-                    for j in range(n_out):
-                        wout_ref[s * n_out + j] = _deposit(
-                            jnp.concatenate(w_rg[j], axis=0),
-                            a,
-                            wout_ref[s * n_out + j],
-                            roff,
-                            cap,
-                        )
-                for j in range(n_out):
-                    hcat = jnp.concatenate(
-                        [cls_h[b][j] for b in range(cpr)], axis=1
-                    )
-                    if lane_fill:
-                        hcat = jnp.concatenate(
-                            [
-                                hcat,
-                                jnp.zeros(
-                                    (rows_blk, lane_fill), jnp.float32
-                                ),
-                            ],
-                            axis=1,
-                        )
-                    hout_ref[j] = hout_ref[j] + hcat
-
-    return (
-        plan,
-        _make_call(grid, plan, n_fields, n_out, n_out, kernel, interpret),
-        n_out,
-    )
-
-
-def forces_sym(params, grid: nb.BinnedGrid, b, interpret: bool = False):
-    """Drop-in for wcsph_binned._forces (single device).
-
-    Same cap domain as density_sym: caps {8, 16, 24, 32, 40} only."""
-    use_coh = bool(params.use_cohesion)
-    use_x = bool(params.use_xsph)
-    plan, fn, n_out = _build_forces(grid, use_coh, use_x, interpret)
-    dim = grid.dim
-    inv_rho = 1.0 / b.density
-    pr2 = b.pressure * inv_rho * inv_rho
-    cols = (
-        [b.pos[:, k] for k in range(dim)]
-        + [b.vel[:, k] for k in range(dim)]
-        + [b.mass, pr2, inv_rho]
-    )
-    packed = _pack_rows(grid, plan, cols)
-    aux = aux_rows(
-        grid, b.mass, scalars=(params.viscosity, params.surface_tension)
-    )
-    hout, wout = fn(packed, aux)
-    n_slab = len(plan["slabs"])
-    outs = []
-    for j in range(n_out):
-        outs.append(
-            _combine(
-                plan,
-                grid,
-                hout[j],
-                [wout[s * n_out + j] for s in range(n_slab)],
-            )
-        )
-    acc = jnp.stack(outs[:dim], axis=-1).astype(b.mass.dtype)
-    if use_x:
-        xsph = jnp.stack(outs[dim : 2 * dim], axis=-1).astype(b.mass.dtype)
-    else:
-        xsph = jnp.zeros_like(acc)
-    return acc, xsph

@@ -56,10 +56,10 @@ def _r2(dim, home, w):
 def _use_pallas_sym(
     grid: nb.BinnedGrid, halo, local_cells, phase: str
 ) -> bool:
-    """Route a pair phase through the symmetric Pallas kernels when the
-    grid is eligible. "sym" forces both phases; "auto" engages on the TPU
-    backend only — CPU (tests, oracles) keeps the XLA fold, whose results
-    the Pallas kernels are equivalence-tested against
+    """Route the density phase through the symmetric Pallas kernel when
+    the grid is eligible. "sym" forces it on any backend; "auto" engages
+    on the TPU backend only — CPU (tests, oracles) keeps the XLA fold,
+    whose results the Pallas kernel is equivalence-tested against
     (tests/test_pallas_sym.py) — and only where measured to win:
 
       * density at >= 20k cells: the kernel's per-slab DMA spans beat the
@@ -68,9 +68,12 @@ def _use_pallas_sym(
         1.29x, step 117.9 -> 112.0 — scripts/micro_sym40.py; 100k:
         1.17x; small 2D grids are a wash and not worth the Mosaic
         compile).
-      * forces: NOT routed on "auto" — Mosaic's pair-op throughput keeps
-        it at 0.75x the fold even at 1M (ROADMAP, measured exhaustively).
+      * forces: NEVER routed — the Pallas forces kernel measured dead
+        three times (0.73-0.89x at cap 32, 0.59x at cap 40 — ROADMAP
+        ledger items 4/18) and was trimmed in round 4 (VERDICT r03 #9).
     """
+    if phase != "density":
+        return False
     if halo is not None or local_cells is not None:
         return False
     # cap-general row packing (pallas_sym): 32 = 4 cells/128-lane row
@@ -85,7 +88,7 @@ def _use_pallas_sym(
 
         if jax.default_backend() not in ("tpu", "axon"):
             return False
-        return phase == "density" and grid.num_cells >= 20_000
+        return grid.num_cells >= 20_000
     return False
 
 
@@ -233,10 +236,6 @@ def _forces(
     local_cells: int | None = None,
 ):
     """Pressure + viscosity + cohesion accel and XSPH sum over home slots."""
-    if _use_pallas_sym(grid, halo, local_cells, "forces"):
-        from sph_pie_tpu.neighbors import pallas_sym
-
-        return pallas_sym.forces_sym(params, grid, b)
     if halo is None and local_cells is None and grid.symmetric_fold:
         return _forces_sym(params, grid, b)
     dim, h = params.dim, params.h

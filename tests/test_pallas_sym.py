@@ -40,37 +40,9 @@ def test_density_sym_matches_fold(make):
     np.testing.assert_allclose(rho_pal[valid], rho_ref[valid], rtol=3e-6)
 
 
-@pytest.mark.heavy
-@pytest.mark.parametrize("make", ["dam_break_2d",
-    pytest.param("dam_break_3d", marks=pytest.mark.heavy)])
-def test_forces_sym_matches_fold(make):
-    from sph_pie_tpu.kernels import eos
-    from sph_pie_tpu.neighbors import pallas_sym
-    from sph_pie_tpu.solvers import wcsph_binned
-    from sph_pie_tpu.utils.struct import replace
-
-    scene, g, b = _scene(make)
-    rho = wcsph_binned._density(scene.params, g, b)
-    b = replace(b, density=rho, pressure=eos.tait_pressure(scene.params, rho))
-
-    acc_ref, xs_ref = wcsph_binned._forces(scene.params, g, b)
-    acc_pal, xs_pal = pallas_sym.forces_sym(
-        scene.params, g, b, interpret=True
-    )
-    valid = np.asarray(b.valid)
-    scale = float(np.abs(np.asarray(acc_ref)[valid]).max())
-    np.testing.assert_allclose(
-        np.asarray(acc_pal)[valid] / scale,
-        np.asarray(acc_ref)[valid] / scale,
-        atol=3e-5,
-    )
-    if bool(scene.params.use_xsph):
-        xscale = max(1e-30, float(np.abs(np.asarray(xs_ref)[valid]).max()))
-        np.testing.assert_allclose(
-            np.asarray(xs_pal)[valid] / xscale,
-            np.asarray(xs_ref)[valid] / xscale,
-            atol=3e-5,
-        )
+# (A forces_sym parity test lived here through round 4; the forces kernel
+# measured 0.59x the fold at the shipped geometry and was trimmed —
+# ROADMAP ledger item 18.)
 
 
 # ---- default-tier guards (no Mosaic compile) ---------------------------
