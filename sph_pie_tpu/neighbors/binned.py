@@ -43,11 +43,11 @@ _PALLAS_EXPAND: bool | None = None
 
 
 def _use_pallas_expand() -> bool:
-    """Experimental only (SPH_PIE_PALLAS_REBIN=1): in-graph XLA fuses the
-    same-index dense scatters into one pass (~25 ms of the 99 ms rebin at
-    1M), so the expansion kernel has little to win — and this Mosaic
-    toolchain rejects its small-block SMEM specs anyway. Kept for the
-    interpret-mode record."""
+    """Experimental only (SPH_PIE_PALLAS_REBIN=1). Round-4 rework: the
+    kernel now compiles on hardware (scalar-prefetch spec + 128-lane pad)
+    and carries the density column, so the PBF flagship path can route it.
+    Default-off pending the hardware A/B (scripts/micro_rebin4.py) —
+    flip the default only with a measured win recorded in ROADMAP.md."""
     global _PALLAS_EXPAND
     if _PALLAS_EXPAND is None:
         import os
@@ -376,10 +376,11 @@ def _bin_rows(
     S = grid.num_slots
     dt = pos.dtype
 
-    if _use_pallas_expand() and not nd:  # expand kernel predates density
+    if _use_pallas_expand():
         # Pallas expansion: per-cell VMEM copies instead of per-column XLA
-        # scatters (measured ~70-90 ms per scatter at 1M on v5e). Cell
-        # offsets come from one counts scatter-add + an exclusive cumsum.
+        # scatters (the rebin's scalar-transaction bound —
+        # scripts/micro_rebin2.py). Cell offsets come from one counts
+        # scatter-add + an exclusive cumsum.
         from sph_pie_tpu.neighbors import pallas_rebin
 
         count = (
@@ -390,7 +391,7 @@ def _bin_rows(
         first_cell = jnp.concatenate(
             [jnp.zeros((1,), jnp.int32), jnp.cumsum(count)[:-1].astype(jnp.int32)]
         )
-        cols = list(spos) + list(svel) + [
+        cols = list(spos) + list(svel) + ([sdens] if nd else []) + [
             smass,
             jax.lax.bitcast_convert_type(sowner, jnp.float32),
         ]
@@ -402,13 +403,15 @@ def _bin_rows(
             if nv
             else jnp.zeros((S, dim), dt)
         )
-        mass_d = dense[:, dim + nv]
+        dens_pal = dense[:, dim + nv] if nd else None
+        mass_d = dense[:, dim + nv + nd]
         owner_raw = jax.lax.bitcast_convert_type(
-            dense[:, dim + nv + 1], jnp.int32
+            dense[:, dim + nv + nd + 1], jnp.int32
         )
         valid_d = mass_d > 0
         owner_d = jnp.where(valid_d, owner_raw, -1)
     else:
+        dens_pal = None
         # Per-COLUMN scalar scatters. A packed [K, 2dim+1] row scatter
         # into a dense [S, 7] target was measured WORSE (rebin 104 ->
         # 152 ms at 1M on v5e): the [S, 7] layout lane-pads 7 -> 128 on
@@ -430,11 +433,12 @@ def _bin_rows(
             sowner, mode="drop"
         )
 
-    dens_d = (
-        jnp.zeros((S,), dt).at[slot].set(sdens, mode="drop")
-        if nd
-        else jnp.zeros((S,), dt)
-    )
+    if dens_pal is not None:
+        dens_d = dens_pal
+    elif nd:
+        dens_d = jnp.zeros((S,), dt).at[slot].set(sdens, mode="drop")
+    else:
+        dens_d = jnp.zeros((S,), dt)
 
     out = BinnedState(
         pos=pos_d,

@@ -3,16 +3,34 @@
 After the multi-operand sort, rebin holds K cell-sorted particle rows plus
 per-cell (first, count) offsets; the dense slot layout is those rows with
 each cell padded to ``cap``. XLA lowers that placement as per-column
-scatters costing ~70-90 ms EACH at 1M on v5e (scatter is near-serial per
-update) — ~700 ms of the round-1 rebin. This kernel does the same
-expansion as per-cell VMEM block copies: grid = cell blocks; each program
+scalar scatters — the rebin is bound by HBM transaction count (~7 ns per
+scalar update; the 2026-08 decomposition in scripts/micro_rebin2.py puts
+the 9-column scatter side at 61.5 ms standalone at 1M and measured the
+scatter hints and complex64 pair-packing DEAD). This kernel does the same
+placement as per-cell VMEM block copies: grid = cell blocks; each program
 DMAs its contiguous input row range once, then for every cell copies
 ``cap`` rows from a dynamic sublane offset and masks rows past the cell's
-count. Pure copies, no scatter.
+count. Pure copies, no scatter — and the dense zero-init (a full 9-column
+[S] materialisation, ~10 ms at 1M) comes free in the mask.
 
-Layout: payload columns ride together as [rows, NCOL] f32 (lane dim NCOL
-is narrow, but the kernel is copy-bound, not compute-bound). int32 columns
+Layout: payload columns ride together as [rows, NCOL] f32, lane-padded to
+128 before the pallas_call. The pad moves no extra physical bytes — the
+(1,128) HBM tiling already stores one row per 128-lane tile — but it makes
+the dynamic dim-0 DMA slice legal (Mosaic rejects a lane-dim slice that is
+not 128-aligned: "Slice shape along dimension 1 must be aligned to tiling
+(128), but is 9", first hardware compile 2026-08-19). int32 columns
 (owner) are bitcast to f32 on the way in and back on the way out.
+
+History: a round-2 version of this kernel used per-block SMEM BlockSpecs
+for (first, count), which this Mosaic toolchain rejects; this version
+feeds them through ``pltpu.PrefetchScalarGridSpec`` scalar prefetch (the
+supported pattern) and is otherwise the same placement loop.
+
+Reference behavior parity: identical drop semantics to the scatter path
+for count <= cap + per-block slack; cells whose rows land beyond the
+block's DMA window (pathological overflow > SLACK*cap rows in one block)
+are zero-filled rather than garbage-filled. The overflow counter in
+_bin_rows is computed outside either path.
 """
 
 from __future__ import annotations
@@ -25,17 +43,19 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BLK = 256  # cells per program
+BLK = 128  # cells per program (block + scratch must fit VMEM at 128 lanes)
+
+LANE = 128  # lane-dim pad so HBM DMA slices are tile-aligned
 
 
 SLACK = 4  # extra cap-rows of DMA window absorbing per-block overflow
 
 
 def _kernel(cap, blk, first_ref, count_ref, rows_hbm, out_ref, scratch, sem):
-    """first_ref/count_ref: [blk] 1-D SMEM blocks; rows_hbm: [K_pad, NCOL]
-    ANY; out_ref: [blk*cap, NCOL] VMEM; scratch: [blk*cap +
-    (SLACK+1)*cap, NCOL] VMEM. The block's input base row is
-    first_ref[0] (cells are contiguous in the sorted input).
+    """first_ref/count_ref: FULL [nblk*blk] int32 arrays (scalar prefetch,
+    SMEM); rows_hbm: [K_pad, NCOL] ANY; out_ref: [blk*cap, NCOL] VMEM;
+    scratch: [blk*cap + (SLACK+1)*cap, NCOL] VMEM. The block's input base
+    row is first[i*blk] (cells are contiguous in the sorted input).
 
     Overflowing cells (count > cap) shift later cells' offsets past the
     blk*cap window; the slack absorbs up to SLACK*cap dropped rows per
@@ -43,7 +63,8 @@ def _kernel(cap, blk, first_ref, count_ref, rows_hbm, out_ref, scratch, sem):
     mask + clamped read) rather than reading a neighbor's rows.
     """
     window = blk * cap + SLACK * cap
-    base = first_ref[0]
+    i = pl.program_id(0)
+    base = first_ref[i * blk]
     dma = pltpu.make_async_copy(
         rows_hbm.at[pl.ds(base, window + cap)], scratch, sem
     )
@@ -53,8 +74,8 @@ def _kernel(cap, blk, first_ref, count_ref, rows_hbm, out_ref, scratch, sem):
     ranks = lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
 
     def body(ci, _):
-        local = jnp.minimum(first_ref[ci] - base, window)
-        n = count_ref[ci]
+        local = jnp.minimum(first_ref[i * blk + ci] - base, window)
+        n = count_ref[i * blk + ci]
         chunk = scratch[pl.ds(local, cap), :]
         ok = (ranks < n) & (local + ranks < window)
         out_ref[pl.ds(ci * cap, cap), :] = jnp.where(ok, chunk, 0.0)
@@ -63,8 +84,8 @@ def _kernel(cap, blk, first_ref, count_ref, rows_hbm, out_ref, scratch, sem):
     lax.fori_loop(0, blk, body, 0)
 
 
-@partial(jax.jit, static_argnames=("cap",))
-def expand(first, count, rows, cap: int):
+@partial(jax.jit, static_argnames=("cap", "interpret"))
+def expand(first, count, rows, cap: int, interpret: bool = False):
     """[K, NCOL] sorted rows -> [num_cells*cap, NCOL] dense padded slots.
 
     ``first``/``count``: [num_cells] int32 (first[c] = index of cell c's
@@ -78,30 +99,32 @@ def expand(first, count, rows, cap: int):
     k = rows.shape[0]
     first_p = jnp.concatenate([first, jnp.full((pad_cells,), k, jnp.int32)])
     count_p = jnp.concatenate([count, jnp.zeros((pad_cells,), jnp.int32)])
-    # overread guard: DMA reads blk*cap + (SLACK+1)*cap rows from `base`
+    # overread guard: DMA reads blk*cap + (SLACK+1)*cap rows from `base`;
+    # lane-pad to 128 (physically free under (1,128) tiling, required for
+    # the dynamic dim-0 HBM slice — see module docstring)
     rows_pad = jnp.concatenate(
         [rows, jnp.zeros((BLK * cap + (SLACK + 1) * cap, ncol), rows.dtype)]
     )
+    rows_pad = jnp.pad(rows_pad, ((0, 0), (0, LANE - ncol)))
 
+    kw = {"interpret": True} if interpret else {}
     out = pl.pallas_call(
         partial(_kernel, cap, BLK),
-        grid=(nblk,),
-        in_specs=[
-            pl.BlockSpec((BLK,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((BLK,), lambda i: (i,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec(
-            (BLK * cap, ncol), lambda i: (i, 0), memory_space=pltpu.VMEM
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(nblk,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(
+                (BLK * cap, LANE), lambda i, *_: (i, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM(
+                    (BLK * cap + (SLACK + 1) * cap, LANE), rows.dtype
+                ),
+                pltpu.SemaphoreType.DMA,
+            ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nblk * BLK * cap, ncol), rows.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((BLK * cap + (SLACK + 1) * cap, ncol), rows.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
+        out_shape=jax.ShapeDtypeStruct((nblk * BLK * cap, LANE), rows.dtype),
+        **kw,
     )(first_p, count_p, rows_pad)
-    return out[: num_cells * cap]
-
-
-def _kernel_smem_fix(*a, **k):  # pragma: no cover - placeholder for older APIs
-    raise NotImplementedError
+    return out[: num_cells * cap, :ncol]

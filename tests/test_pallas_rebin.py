@@ -65,3 +65,33 @@ def test_bin_rows_pallas_path_equals_scatter_path(interpret_pallas, monkeypatch)
             err_msg=name,
         )
     assert int(b_pallas.overflow) == int(b_scatter.overflow)
+
+
+def test_rebin_density_carry_pallas_equals_scatter(interpret_pallas, monkeypatch):
+    """The PBF ride scheme's rebin (carry_density=True) through the pallas
+    expand path: round 4 extended the kernel to ride the density column
+    (it previously predated density and was skipped exactly on the
+    flagship PBF path)."""
+    import sph_pie_tpu.neighbors.binned as nb
+    from sph_pie_tpu.scenes import dam_break_2d
+    from sph_pie_tpu.solvers import pbf
+
+    scene = dam_break_2d(n_target=300)
+    g = scene.bgrid
+    b = scene.binned_state()
+    b = pbf.simulate(scene.params, g, pbf.flagship_params(), b, 3)
+
+    monkeypatch.setattr(nb, "_PALLAS_EXPAND", False)
+    a = nb.rebin(g, b, carry_density=True)
+    monkeypatch.setattr(nb, "_PALLAS_EXPAND", True)
+    c = nb.rebin(g, b, carry_density=True)
+    monkeypatch.setattr(nb, "_PALLAS_EXPAND", None)
+
+    for name in ("pos", "vel", "mass", "density", "valid", "owner",
+                 "slot_of", "bin_pos"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, name)),
+            np.asarray(getattr(c, name)),
+            err_msg=name,
+        )
+    assert int(a.overflow) == int(c.overflow)
