@@ -21,10 +21,12 @@ not 128-aligned: "Slice shape along dimension 1 must be aligned to tiling
 (128), but is 9", first hardware compile 2026-08-19). int32 columns
 (owner) are bitcast to f32 on the way in and back on the way out.
 
-History: a round-2 version of this kernel used per-block SMEM BlockSpecs
-for (first, count), which this Mosaic toolchain rejects; this version
-feeds them through ``pltpu.PrefetchScalarGridSpec`` scalar prefetch (the
-supported pattern) and is otherwise the same placement loop.
+History (hardware compile attempts, 2026-08-19): a round-2 version used
+1-D per-block SMEM BlockSpecs for (first, count) — rejected by Mosaic; a
+scalar-prefetch (PrefetchScalarGridSpec) version compiled past that but
+blew the 1 MB SMEM budget, since prefetch copies the FULL arrays to SMEM
+(268k cells x int32 = 1.07 MB each at 1M particles). This version uses
+2-D ``(1, BLK)`` per-block SMEM blocks: 512 B per operand per program.
 
 Reference behavior parity: identical drop semantics to the scatter path
 for count <= cap + per-block slack; cells whose rows land beyond the
@@ -52,10 +54,12 @@ SLACK = 4  # extra cap-rows of DMA window absorbing per-block overflow
 
 
 def _kernel(cap, blk, first_ref, count_ref, rows_hbm, out_ref, scratch, sem):
-    """first_ref/count_ref: FULL [nblk*blk] int32 arrays (scalar prefetch,
-    SMEM); rows_hbm: [K_pad, NCOL] ANY; out_ref: [blk*cap, NCOL] VMEM;
-    scratch: [blk*cap + (SLACK+1)*cap, NCOL] VMEM. The block's input base
-    row is first[i*blk] (cells are contiguous in the sorted input).
+    """first_ref/count_ref: [1, blk] int32 SMEM blocks (2-D: Mosaic rejects
+    1-D SMEM specs, and full-array scalar prefetch blows the 1 MB SMEM at
+    268k cells — both measured 2026-08-19); rows_hbm: [K_pad, 128] ANY;
+    out_ref: [blk*cap, 128] VMEM; scratch: [blk*cap + (SLACK+1)*cap, 128]
+    VMEM. The block's input base row is first_ref[0, 0] (cells are
+    contiguous in the sorted input).
 
     Overflowing cells (count > cap) shift later cells' offsets past the
     blk*cap window; the slack absorbs up to SLACK*cap dropped rows per
@@ -63,8 +67,7 @@ def _kernel(cap, blk, first_ref, count_ref, rows_hbm, out_ref, scratch, sem):
     mask + clamped read) rather than reading a neighbor's rows.
     """
     window = blk * cap + SLACK * cap
-    i = pl.program_id(0)
-    base = first_ref[i * blk]
+    base = first_ref[0, 0]
     dma = pltpu.make_async_copy(
         rows_hbm.at[pl.ds(base, window + cap)], scratch, sem
     )
@@ -74,8 +77,8 @@ def _kernel(cap, blk, first_ref, count_ref, rows_hbm, out_ref, scratch, sem):
     ranks = lax.broadcasted_iota(jnp.int32, (cap, 1), 0)
 
     def body(ci, _):
-        local = jnp.minimum(first_ref[i * blk + ci] - base, window)
-        n = count_ref[i * blk + ci]
+        local = jnp.minimum(first_ref[0, ci] - base, window)
+        n = count_ref[0, ci]
         chunk = scratch[pl.ds(local, cap), :]
         ok = (ranks < n) & (local + ranks < window)
         out_ref[pl.ds(ci * cap, cap), :] = jnp.where(ok, chunk, 0.0)
@@ -110,21 +113,18 @@ def expand(first, count, rows, cap: int, interpret: bool = False):
     kw = {"interpret": True} if interpret else {}
     out = pl.pallas_call(
         partial(_kernel, cap, BLK),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(nblk,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec(
-                (BLK * cap, LANE), lambda i, *_: (i, 0)
-            ),
-            scratch_shapes=[
-                pltpu.VMEM(
-                    (BLK * cap + (SLACK + 1) * cap, LANE), rows.dtype
-                ),
-                pltpu.SemaphoreType.DMA,
-            ],
-        ),
+        grid=(nblk,),
+        in_specs=[
+            pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BLK), lambda i: (0, i), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((BLK * cap, LANE), lambda i: (i, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((BLK * cap + (SLACK + 1) * cap, LANE), rows.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
         out_shape=jax.ShapeDtypeStruct((nblk * BLK * cap, LANE), rows.dtype),
         **kw,
-    )(first_p, count_p, rows_pad)
+    )(first_p[None], count_p[None], rows_pad)
     return out[: num_cells * cap, :ncol]

@@ -303,6 +303,9 @@ def make_handler(app: App):
 
         def _handle(self, method):
             t0 = time.time()
+            # capture at request START: a slow request must not gain/lose
+            # its log line because the flag flipped mid-flight
+            log_this = app.access_log
             self._last_status = 0  # updated by _send
             try:
                 self._route(method)
@@ -317,7 +320,7 @@ def make_handler(app: App):
             except Exception as e:  # JSON error handler (index.js:526-536)
                 self._send(500, {"error": f"{type(e).__name__}: {e}"})
             finally:
-                if app.access_log:
+                if log_this:
                     dur_ms = (time.time() - t0) * 1e3
                     app.access_logger(
                         f"[http] {method} {self.path} "
