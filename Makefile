@@ -34,8 +34,11 @@ check-slow:
 
 check-all: check check-heavy check-slow
 
+# NOTE: do not clobber PYTHONPATH here — the axon TPU plugin is loaded
+# via a PYTHONPATH entry in this environment, and bench.py resolves the
+# package from its own directory anyway.
 bench:
-	PYTHONPATH=. $(PY) bench.py
+	$(PY) bench.py
 
 .PHONY: check check-heavy check-heavy-1 check-heavy-2 check-heavy-3 \
   check-slow check-all bench
