@@ -141,7 +141,10 @@ $("loginForm").onsubmit = async (e) => {
 $("resetForm").onsubmit = async (e) => {
   e.preventDefault();
   try {
-    await api("POST", "/api/auth/password", { password: $("resetPassword").value });
+    await api("POST", "/api/auth/password", {
+      currentPassword: $("resetCurrent").value,
+      password: $("resetPassword").value,
+    });
     $("resetOverlay").classList.remove("open");
     await refreshSession();
   } catch (err) { $("resetError").textContent = err.message; }

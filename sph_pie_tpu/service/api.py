@@ -33,7 +33,7 @@ from sph_pie_tpu.service.rbac import RoleConfig, is_operator_only, user_has_role
 from sph_pie_tpu.service.sessions import COOKIE_NAME, SessionStore
 from sph_pie_tpu.service.storage import ProviderRegistry
 from sph_pie_tpu.service.storage.base import ConflictError, ValidationError, now_ms
-from sph_pie_tpu.service.users import UserStore
+from sph_pie_tpu.service.users import UserStore, verify_password
 from sph_pie_tpu.service.webhook import WebhookDispatcher
 
 PASSWORD_RESET_ALLOW = (
@@ -385,10 +385,30 @@ def make_handler(app: App):
             self._send(200, {"ok": True}, headers=self._set_cookie(None))
 
         def ep_password(self, qs):
+            """Self-service password change (reference server/index.js:187-204):
+            verify the CURRENT password (400 on mismatch), set the new one,
+            purge every session the user holds, and issue a fresh cookie so
+            a hijacked token cannot silently rotate the account password or
+            survive the change."""
             user = self._require_auth()
             body = self._json_body()
-            app.users.set_password(user["id"], body.get("password", ""))
-            self._send(200, {"ok": True})
+            record = app.users.find_by_id(user["id"])
+            if record is None:
+                raise HttpError(404, "user not found")
+            current = body.get("currentPassword", "")
+            if not verify_password(
+                current if isinstance(current, str) else "", record["password"]
+            ):
+                raise HttpError(400, "current password is incorrect")
+            new_pw = body.get("password", body.get("newPassword", ""))
+            app.users.set_password(user["id"], new_pw)
+            app.sessions.delete_for_user(user["id"])
+            token = app.sessions.create(user["id"])
+            self._send(
+                200,
+                {"user": app.users.sanitize(record)},
+                headers=self._set_cookie(token),
+            )
 
         def ep_users_list(self, qs):
             self._require_roles()  # admin only (no roles => admin bypass only)

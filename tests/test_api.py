@@ -64,7 +64,10 @@ def server(tmp_path):
 
 def _login_admin(c):
     c.req("POST", "/api/auth/login", {"email": "admin@local", "password": DEFAULT_TEMP_PASSWORD}, 200)
-    c.req("POST", "/api/auth/password", {"password": GOOD_PW}, 200)
+    c.req(
+        "POST", "/api/auth/password",
+        {"currentPassword": DEFAULT_TEMP_PASSWORD, "password": GOOD_PW}, 200,
+    )
 
 
 def test_health_open(server):
@@ -87,8 +90,14 @@ def test_login_and_423_gate(server):
     c.req("GET", "/api/runs", expect=423)
     c.req("GET", "/api/auth/session", expect=200)
     # weak password rejected by policy
-    c.req("POST", "/api/auth/password", {"password": "short"}, 400)
-    c.req("POST", "/api/auth/password", {"password": GOOD_PW}, 200)
+    c.req(
+        "POST", "/api/auth/password",
+        {"currentPassword": DEFAULT_TEMP_PASSWORD, "password": "short"}, 400,
+    )
+    c.req(
+        "POST", "/api/auth/password",
+        {"currentPassword": DEFAULT_TEMP_PASSWORD, "password": GOOD_PW}, 200,
+    )
     status, body = c.req("GET", "/api/auth/session", expect=200)
     assert not body["user"]["needsPasswordReset"]
     c.req("GET", "/api/runs", expect=200)
@@ -128,7 +137,10 @@ def test_rbac_operator_restrictions(server):
     op = app.users.find_by_email("sim.operator@local")
     c2 = Client(c.base)
     c2.req("POST", "/api/auth/login", {"email": op["email"], "password": DEFAULT_TEMP_PASSWORD}, 200)
-    c2.req("POST", "/api/auth/password", {"password": GOOD_PW}, 200)
+    c2.req(
+        "POST", "/api/auth/password",
+        {"currentPassword": DEFAULT_TEMP_PASSWORD, "password": GOOD_PW}, 200,
+    )
     # operators cannot create runs (write = lead only)
     c2.req("POST", "/api/runs", {"name": "x", "scene": "s", "runDate": "2026-08-16"}, 403)
     # admin creates; operator records a step -> identity forced

@@ -85,7 +85,10 @@ def test_calendar_url_override_admin_only_and_http_only(server):  # noqa: F811
         {"email": "sim.operator@local", "password": DEFAULT_TEMP_PASSWORD},
         200,
     )
-    op.req("POST", "/api/auth/password", {"password": GOOD_PW}, 200)
+    op.req(
+        "POST", "/api/auth/password",
+        {"currentPassword": DEFAULT_TEMP_PASSWORD, "password": GOOD_PW}, 200,
+    )
     status, _ = op.req("GET", "/api/calendar?url=http://127.0.0.1:1/x")
     assert status == 403
     # admin: override allowed but scheme-restricted
@@ -133,3 +136,41 @@ def test_checkpoint_manager_survives_stray_tmp(tmp_path):
     state, params, step, extra = mgr.restore_latest()
     assert step == 2
     np.testing.assert_array_equal(np.asarray(state.pos), np.asarray(st.pos))
+
+
+def test_password_change_requires_current_and_rotates_sessions(server):  # noqa: F811
+    """Reference server/index.js:187-204: POST /api/auth/password must
+    (a) 400 unless currentPassword verifies, (b) purge ALL of the user's
+    sessions, (c) issue a fresh cookie — so a hijacked token can neither
+    rotate the password silently nor survive a legitimate change."""
+    c, app = server
+    c.req(
+        "POST", "/api/auth/login",
+        {"email": "admin@local", "password": DEFAULT_TEMP_PASSWORD}, 200,
+    )
+    # a second live session for the same account (the "hijacked" token)
+    other = type(c)(c.base)
+    other.req(
+        "POST", "/api/auth/login",
+        {"email": "admin@local", "password": DEFAULT_TEMP_PASSWORD}, 200,
+    )
+    # (a) wrong/missing current password -> 400, nothing purged
+    c.req("POST", "/api/auth/password", {"password": GOOD_PW}, 400)
+    c.req(
+        "POST", "/api/auth/password",
+        {"currentPassword": "wrong-Wrong-1!", "password": GOOD_PW}, 400,
+    )
+    other.req("GET", "/api/auth/session", expect=200)  # still alive
+    # legitimate change
+    _, body = c.req(
+        "POST", "/api/auth/password",
+        {"currentPassword": DEFAULT_TEMP_PASSWORD, "password": GOOD_PW}, 200,
+    )
+    assert body["user"]["needsPasswordReset"] is False
+    # (b) the other (old) token is dead
+    _, sess = other.req("GET", "/api/auth/session", expect=200)
+    assert sess == {"authenticated": False}
+    # (c) the changing client got a fresh cookie and stays logged in
+    _, sess = c.req("GET", "/api/auth/session", expect=200)
+    assert sess["authenticated"] is True
+    c.req("GET", "/api/runs", expect=200)
