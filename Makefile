@@ -13,9 +13,10 @@ check:
 # chunks, each < 10 min; `make check-heavy` runs them back-to-back (fine
 # without a per-command timeout; budget ~20 min total).
 check-heavy-1:
-	$(PY) -m pytest tests/test_balance.py tests/test_binned.py \
-	  tests/test_calendar_frontend.py tests/test_checkpoint_config.py \
-	  tests/test_ghost_walls.py tests/test_graft_entry.py -q -m heavy
+	$(PY) -m pytest tests/test_balance.py tests/test_bench_contract.py \
+	  tests/test_binned.py tests/test_calendar_frontend.py \
+	  tests/test_checkpoint_config.py tests/test_ghost_walls.py \
+	  tests/test_graft_entry.py -q -m heavy
 
 check-heavy-2:
 	$(PY) -m pytest tests/test_halo.py tests/test_pallas_pair.py \
