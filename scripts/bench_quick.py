@@ -1,3 +1,5 @@
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time, numpy as np
 from sph_pie_tpu.scenes import dam_break_2d, dam_break_3d
 from sph_pie_tpu.solvers import wcsph_binned

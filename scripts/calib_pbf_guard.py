@@ -10,6 +10,9 @@ Prints spread/h, vmax, rho_q90/rho0 for each (config, horizon) so the bar
 can be picked with margin on both sides.
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import numpy as np

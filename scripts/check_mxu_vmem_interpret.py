@@ -8,6 +8,9 @@ compile errors still only surface on the real chip).
 Run: JAX_PLATFORMS=cpu PYTHONPATH=/root/repo python scripts/check_mxu_vmem_interpret.py
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import numpy as np
 
 from micro_mxu_vmem import forces_mxu

@@ -6,6 +6,9 @@ maps the mismatching slots to (block, cell-in-block, lane-class, rank).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/debug_pallas_hw.py [N]
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 

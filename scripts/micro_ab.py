@@ -11,6 +11,9 @@ estimate of true cost.
 Usage: python scripts/micro_ab.py [wcsph|pbf|both]
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import sys
 import time

@@ -7,6 +7,9 @@ Times _density/_forces on the initial state AND a settled late-run state
 (after `steps` real steps — occupancy distribution differs a lot).
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import json
 import sys

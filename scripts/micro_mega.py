@@ -9,6 +9,9 @@ Interleaves a concat re-baseline so tunnel-state drift (3x cross-process
 noise; see memory notes) is visible inside ONE process.
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import time
 

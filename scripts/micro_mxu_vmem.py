@@ -36,7 +36,11 @@ supports), surface_tension=0 (cohesion off -> terms = press/visc/xsph).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_mxu_vmem.py [N]
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import sys
 import time

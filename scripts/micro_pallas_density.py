@@ -4,6 +4,9 @@ Run on the real TPU:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_pallas_density.py [N]
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import time

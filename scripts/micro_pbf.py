@@ -8,7 +8,11 @@ merely compare travel).
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_pbf.py [N]
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import sys

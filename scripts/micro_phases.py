@@ -3,6 +3,9 @@
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_phases.py [N]
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import time

@@ -1,5 +1,8 @@
 """Microbench rebin components on the real TPU: sort variants, gathers, scatters."""
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

@@ -1,5 +1,8 @@
 """Round 2: scatter/gather variants + rank-via-cummax for the rebin redesign."""
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import time
 
 import jax

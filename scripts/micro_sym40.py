@@ -14,7 +14,11 @@ Run (TPU, background):
 PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_sym40.py [n] [reps]
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 import sys

@@ -4,6 +4,9 @@ one-sided fold, phases + full step at 1M.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_symfold.py [N]
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import json
 import sys

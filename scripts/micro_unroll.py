@@ -10,7 +10,11 @@ Interleaved reps; min + median. Run (TPU, background):
 PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_unroll.py [n] [reps]
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import dataclasses
 import json

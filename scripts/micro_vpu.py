@@ -12,6 +12,9 @@ All compute loops run ON DEVICE inside one jit call (the axon tunnel has
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/micro_vpu.py
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import time
 

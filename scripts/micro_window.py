@@ -10,6 +10,9 @@ Also verifies the library surface first (4096-particle dam break, 500
 steps) so this run doubles as the round's /verify surface-1 check.
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import dataclasses
 import time
 

@@ -8,6 +8,9 @@ max/p99/mean-over-occupied, occupied cell fraction, occupied 256-cell
 block fraction. Plus one-off density/forces/rebin phase timings.
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import time

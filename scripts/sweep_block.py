@@ -4,6 +4,9 @@ Hypothesis: [blk, cap, 3cap] pair temps at blk=256 are ~5 MB each, forcing
 XLA to split fusions and spill temps to HBM; smaller blocks may fuse whole.
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 import dataclasses

@@ -5,7 +5,11 @@ rebin counts per config. Run (CPU):
 PYTHONPATH=. JAX_PLATFORMS=cpu python scripts/sweep_pbf_iters_3d.py
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import json
 

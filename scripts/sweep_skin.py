@@ -7,6 +7,9 @@ step loop (including lazy rebins) on the real chip.
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/sweep_skin.py
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import json
 import sys
 import time

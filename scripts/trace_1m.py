@@ -16,7 +16,11 @@ Run: PYTHONPATH=/root/repo:/root/.axon_site \
      python scripts/trace_1m.py [N] [steps] [wcsph|pbf]
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import glob
 import gzip

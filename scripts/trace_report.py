@@ -14,7 +14,11 @@ prints the table quoted in PERF.md, plus per-step totals and op counts.
 Run: python scripts/trace_report.py [trace.json.gz] [n_steps]
 """
 
+
 from __future__ import annotations
+
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import collections
 import glob

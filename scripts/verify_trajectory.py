@@ -6,6 +6,9 @@ Exits non-zero on contract violation (the reference's harness discipline:
 self-asserting scripts — SURVEY.md §4).
 """
 
+import os as _os, sys as _sys  # bare-runnable: repo root on sys.path
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import sys
 import time
 
