@@ -42,16 +42,23 @@ import threading
 import time
 
 NORTH_STAR = 1.0e9  # particle-steps/sec, v5e-8 (BASELINE.json north_star)
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
-# Startup deadline: the axon grant alone has been observed to take 3-8
-# minutes on a healthy-but-slow session (r05 live probe), so this must
-# be generous; it only exists to convert a truly wedged tunnel into a
-# degraded-headline exit instead of silence.
-STARTUP_S = float(os.environ.get("BENCH_STARTUP_S", "300"))
-# Hang ceiling: the watchdog hard-stops at BUDGET_S + GRACE_S.  Grace
-# must cover one honest mid-flight row (cold 1M compile ~2 min), so a
-# slow-but-healthy run is never killed — only a wedged tunnel is.
-GRACE_S = float(os.environ.get("BENCH_GRACE_S", "240"))
+# The measurement budget counts from DEVICE-READY (probe complete), not
+# process start: the axon grant alone has been observed to take 3-8
+# minutes on a healthy session (r05 live probes), and charging that wait
+# against the measurement window would skip every optional row on a
+# session that is merely slow to grant.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "480"))
+# Startup deadline (from process start): converts a truly wedged tunnel
+# into a degraded-headline exit instead of silence.  540s tolerates the
+# observed slow-grant mode; one r05 run saw the probe still pending at
+# 300s on a session that later granted.
+STARTUP_S = float(os.environ.get("BENCH_STARTUP_S", "540"))
+# Hang ceiling: the watchdog hard-stops at probe_t + BUDGET_S + GRACE_S.
+# Grace must cover one honest mid-flight row (cold 1M compile ~2 min) so
+# a slow-but-healthy run is never killed — only a wedged tunnel is.
+# Worst-case total wall: STARTUP + BUDGET + GRACE = 19 min, inside the
+# driver's capture window (r03's ~20 min full run completed with rc=0).
+GRACE_S = float(os.environ.get("BENCH_GRACE_S", "120"))
 # TEST-ONLY knob: lets tests/test_bench_contract.py drive the full happy
 # path on a tiny CPU scene.  Real runs must leave this at 1M — the
 # headline metric name is fixed to the 1M flagship.
@@ -70,6 +77,7 @@ _state = {
     "rows": {},  # config name -> row dict / skip marker / error string
     "flagship": None,  # measured flagship row, once available
     "probe_ok": False,
+    "probe_t": None,  # time.time() when the device probe completed
     "headline_printed": False,
 }
 _lock = threading.Lock()
@@ -151,17 +159,24 @@ def _watchdog():
     the process; partial detail is already on disk."""
     while True:
         time.sleep(2.0)
-        el = time.time() - T0
+        now = time.time()
         with _lock:
-            probe_ok = _state["probe_ok"]
-        if not probe_ok and el > STARTUP_S:
-            _log(f"WATCHDOG: device probe not done after {el:.0f}s — degraded exit")
-            _write_detail()
-            _print_headline()
-            sys.stdout.flush()
-            os._exit(0)
-        if el > BUDGET_S + GRACE_S:
-            _log(f"WATCHDOG: budget+grace exceeded at {el:.0f}s — emergency exit")
+            probe_t = _state["probe_t"]
+        if probe_t is None:
+            if now - T0 > STARTUP_S:
+                _log(
+                    f"WATCHDOG: device probe not done after "
+                    f"{now - T0:.0f}s — degraded exit"
+                )
+                _write_detail()
+                _print_headline()
+                sys.stdout.flush()
+                os._exit(0)
+        elif now - probe_t > BUDGET_S + GRACE_S:
+            _log(
+                f"WATCHDOG: budget+grace exceeded "
+                f"({now - probe_t:.0f}s past probe) — emergency exit"
+            )
             _write_detail()
             _print_headline()
             sys.stdout.flush()
@@ -384,6 +399,7 @@ def _probe_device():
     val = float(np.asarray(x)[0, 0])
     with _lock:
         _state["probe_ok"] = True
+        _state["probe_t"] = time.time()
     import jax
 
     _log(f"probe ok ({jax.devices()[0].platform}, matmul={val:.0f})")
@@ -391,7 +407,9 @@ def _probe_device():
 
 def _run_row(key: str, fn, est_s: float):
     """Run one optional row under the budget; record result/skip/error."""
-    el = time.time() - T0
+    with _lock:
+        t_ready = _state["probe_t"] or T0
+    el = time.time() - t_ready
     if el + est_s > BUDGET_S:
         with _lock:
             _state["rows"][key] = f"skipped(budget: t={el:.0f}s est={est_s:.0f}s)"
