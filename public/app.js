@@ -29,6 +29,7 @@ const state = {
   calendarEvents: [],
   roleKeys: [],
   users: [],
+  defaultTempPassword: "",
   es: null,
   idleTimer: null,
 };
@@ -895,6 +896,7 @@ async function loadUsers() {
     const res = await api("GET", "/api/users");
     state.users = res.users;
     state.roleKeys = res.roles || state.roleKeys;
+    if (res.defaultPassword) state.defaultTempPassword = res.defaultPassword;
   } catch { return; }
   if (!state.roleKeys.length) {
     try {
@@ -945,7 +947,8 @@ $("userRows").onclick = async (e) => {
   } else if (btn.dataset.act === "reset") {
     try {
       const res = await api("POST", `/api/users/${btn.dataset.id}/reset-password`, {});
-      toast(`temp password set for ${res.user.name}`);
+      toast(`temp password set for ${res.user.name}` +
+        (state.defaultTempPassword ? `: ${state.defaultTempPassword}` : ""));
       loadUsers();
     } catch (err) { toast(err.message, true); }
   }

@@ -521,6 +521,52 @@ def bin_state(
     )
 
 
+def _wrap_axis(grid: BinnedGrid, x: jax.Array, axis: int, offset) -> jax.Array:
+    """x: flat [S, ...]; copy interior edge planes into ghost planes
+    along grid ``axis``; ``offset`` is added (spatial vector) or None."""
+    pd = grid.padded_dims
+    lead = int(np.prod(pd[:axis])) if axis else 1
+    width = pd[axis]
+    tail_cells = int(np.prod(pd[axis + 1 :])) * grid.cap
+    x5 = x.reshape((lead, width, tail_cells) + x.shape[1:])
+    lo_img = x5[:, -2:-1]  # interior high edge -> low ghost
+    hi_img = x5[:, 1:2]    # interior low edge  -> high ghost
+    if offset is not None:
+        lo_img = lo_img - offset
+        hi_img = hi_img + offset
+    x5 = jnp.concatenate([lo_img, x5[:, 1:-1], hi_img], axis=1)
+    return x5.reshape(x.shape)
+
+
+def wrap_ghost_fields(
+    grid: BinnedGrid,
+    fields: dict[str, jax.Array],
+    offset_fields: tuple[str, ...] = ("pos", "bin_pos"),
+) -> dict[str, jax.Array]:
+    """Field-level ghost wrap: name -> flat [S, ...] arrays, returned
+    wrapped. Fields named in ``offset_fields`` get the +-L spatial image
+    offset; the rest are copied verbatim. Shared by ``wrap_ghosts`` and
+    the balanced decomposition (parallel/balance.py), which wraps on the
+    collected global layout between sharded steps."""
+    if not any(grid.periodic):
+        return dict(fields)
+    order = grid.axis_order or tuple(range(grid.dim))
+    out = dict(fields)
+    for g_axis, per in enumerate(grid.periodic):
+        if not per:
+            continue
+        s_axis = order[g_axis]
+        length = grid.dims[g_axis] * grid.cell_size
+        for k, x in out.items():
+            off = (
+                jnp.zeros((grid.dim,), x.dtype).at[s_axis].set(length)
+                if k in offset_fields
+                else None
+            )
+            out[k] = _wrap_axis(grid, x, g_axis, off)
+    return out
+
+
 def wrap_ghosts(grid: BinnedGrid, b: BinnedState) -> BinnedState:
     """Refresh ghost-border cells of periodic axes with images of the
     opposite interior edge (positions offset by the domain length).
@@ -530,54 +576,29 @@ def wrap_ghosts(grid: BinnedGrid, b: BinnedState) -> BinnedState:
     axis-k images. All copies are static slices via per-axis reshapes —
     zero gathers, cost O(border slots). Called once per step BEFORE the
     pair folds; image positions therefore track their sources exactly
-    (sources obey the Verlet-skin bound, so images do too)."""
+    (sources obey the Verlet-skin bound, so images do too).
+
+    bin_pos mirrors the image offset too, else the lazy-rebin true-drift
+    check sees a phantom |pos - 0| = domain-length drift on every
+    populated ghost slot and rebins every step.  density rides as a live
+    payload in PBF's epilogue="ride" scheme (Monaghan weight); for WCSPH
+    it is recomputed per step and the ghost copy is simply overwritten —
+    harmless either way."""
     if not any(grid.periodic):
         return b
-    pd = grid.padded_dims
-    cap = grid.cap
-    order = grid.axis_order or tuple(range(grid.dim))
-
-    def wrap_axis(x, axis, offset):
-        """x: flat [S, ...]; copy interior edge planes into ghost planes
-        along grid ``axis``; ``offset`` is added (spatial vector) or None."""
-        lead = int(np.prod(pd[:axis])) if axis else 1
-        width = pd[axis]
-        tail_cells = int(np.prod(pd[axis + 1 :])) * cap
-        x5 = x.reshape((lead, width, tail_cells) + x.shape[1:])
-        lo_img = x5[:, -2:-1]  # interior high edge -> low ghost
-        hi_img = x5[:, 1:2]    # interior low edge  -> high ghost
-        if offset is not None:
-            lo_img = lo_img - offset
-            hi_img = hi_img + offset
-        x5 = jnp.concatenate([lo_img, x5[:, 1:-1], hi_img], axis=1)
-        return x5.reshape(x.shape)
-
-    pos, vel, mass = b.pos, b.vel, b.mass
-    valid, owner, bin_pos = b.valid, b.owner, b.bin_pos
-    dens = b.density
-    for g_axis, per in enumerate(grid.periodic):
-        if not per:
-            continue
-        s_axis = order[g_axis]
-        length = grid.dims[g_axis] * grid.cell_size
-        off = jnp.zeros((grid.dim,), pos.dtype).at[s_axis].set(length)
-        pos = wrap_axis(pos, g_axis, off)
-        # bin_pos must mirror the image offset too, else the lazy-rebin
-        # true-drift check sees a phantom |pos - 0| = domain-length drift
-        # on every populated ghost slot and rebins every step
-        bin_pos = wrap_axis(bin_pos, g_axis, off)
-        vel = wrap_axis(vel, g_axis, None)
-        mass = wrap_axis(mass, g_axis, None)
-        valid = wrap_axis(valid, g_axis, None)
-        owner = wrap_axis(owner, g_axis, None)
-        # density rides as a live payload in PBF's epilogue="ride" scheme
-        # (Monaghan weight); for WCSPH it is recomputed per step and the
-        # ghost copy is simply overwritten — harmless either way.
-        dens = wrap_axis(dens, g_axis, None)
-    return replace(
-        b, pos=pos, vel=vel, mass=mass, valid=valid, owner=owner,
-        bin_pos=bin_pos, density=dens,
+    wrapped = wrap_ghost_fields(
+        grid,
+        {
+            "pos": b.pos,
+            "bin_pos": b.bin_pos,
+            "vel": b.vel,
+            "mass": b.mass,
+            "valid": b.valid,
+            "owner": b.owner,
+            "density": b.density,
+        },
     )
+    return replace(b, **wrapped)
 
 
 def frozen_mask(grid: BinnedGrid, b: BinnedState) -> jax.Array:

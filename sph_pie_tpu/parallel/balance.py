@@ -213,6 +213,23 @@ def make_balanced_step(mesh: Mesh, params, grid: nb.BinnedGrid, c_cap: int, obst
 
     FIELD_NAMES = ("pos", "vel", "mass", "valid")
 
+    # Periodic axes compose with the balanced split (the r05 dryrun leg):
+    # walls are masked off periodic axes exactly like the single-device
+    # engine (solvers/wcsph_binned.py step), and the ghost-border planes
+    # are refreshed per step on the COLLECTED global layout before
+    # redistribution (step_fn below). On real chips that wrap is a ring
+    # ppermute of edge planes between the first and last shards; the
+    # dry-run composition reuses the reference wrap so parity against the
+    # single-device periodic engine is exact by construction.
+    periodic = any(grid.periodic)
+    if periodic:
+        order = grid.axis_order or tuple(range(grid.dim))
+        wall_axes = tuple(
+            not grid.periodic[order.index(sa)] for sa in range(grid.dim)
+        )
+    else:
+        wall_axes = None
+
     def init_fn(b: nb.BinnedState, starts) -> BalancedState:
         fields = {
             k: distribute(grid, getattr(b, k), starts, c_cap)
@@ -265,7 +282,7 @@ def make_balanced_step(mesh: Mesh, params, grid: nb.BinnedGrid, c_cap: int, obst
             params, grid_local, v, halo=halo, local_cells=c_cap
         )
 
-        acc = acc + params.gravity + boundary_accel(params, pos, vel)
+        acc = acc + params.gravity + boundary_accel(params, pos, vel, wall_axes)
         if obstacles is not None:
             acc = acc + obs_lib.accel(obstacles, pos, vel, sim_time)
 
@@ -293,11 +310,25 @@ def make_balanced_step(mesh: Mesh, params, grid: nb.BinnedGrid, c_cap: int, obst
             [int(bs.starts[d + 1] - bs.starts[d]) * cap for d in range(n)],
             jnp.int32,
         )
+        in_fields = bs.fields
+        if periodic:
+            glob = {
+                k: collect(grid, in_fields[k], bs.starts)
+                for k in FIELD_NAMES
+            }
+            glob = nb.wrap_ghost_fields(grid, glob, offset_fields=("pos",))
+            in_fields = dict(
+                in_fields,
+                **{
+                    k: distribute(grid, v, bs.starts, c_cap)
+                    for k, v in glob.items()
+                },
+            )
         pos, vel, rho, prs, travel = sharded(
-            bs.fields["pos"],
-            bs.fields["vel"],
-            bs.fields["mass"],
-            bs.fields["valid"],
+            in_fields["pos"],
+            in_fields["vel"],
+            in_fields["mass"],
+            in_fields["valid"],
             n_rows,
             bs.travel,
             bs.sim_time,

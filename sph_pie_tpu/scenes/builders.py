@@ -379,3 +379,63 @@ def dam_break_3d(n_target: int = 100_000, dtype=jnp.float32, **overrides) -> Sce
         dtype=dtype,
         **overrides,
     )
+
+
+def dam_break_3d_periodic(n_target: int = 50_000, dtype=jnp.float32) -> Scene:
+    """3D dam break in a channel periodic along y (the cross-flow axis).
+
+    The r05 multi-chip dryrun leg (config #5 mechanisms x periodic axis):
+    the fluid block spans the FULL y extent so the periodic seam carries
+    real pair interactions from step one. The y domain length is snapped
+    to an exact multiple of the cell size (a periodic axis must tile
+    cells — neighbors/binned.py wrap_ghosts images offset by dims*cell).
+    Gravity stays on z (make_params default), collapse runs along x;
+    walls on x/z remain penalty walls, y walls are masked by the engine.
+    """
+    vol = 0.3 * 0.4 * 0.6
+    dx = (vol / n_target) ** (1.0 / 3.0)
+    h = 2.0 * dx
+    skin_frac = 0.40
+    cell = h * (1.0 + skin_frac)
+    ny = max(3, int(round(0.4 / cell)))
+    ly = ny * cell * (1.0 - 1e-7)  # epsilon under: ceil(ly/cell) == ny
+    lo, hi = [0.0, 0.0, 0.0], [1.0, ly, 0.75]
+    rest_density = 1000.0
+    sound_speed = 40.0
+    params = make_params(
+        dim=3,
+        h=h,
+        dt=0.25 * h / sound_speed,
+        rest_density=rest_density,
+        sound_speed=sound_speed,
+        viscosity=0.05,
+        xsph_eps=0.05,
+        surface_tension=0.25,
+        bound_min=lo,
+        bound_max=hi,
+        dtype=dtype,
+    )
+    pos = lattice_block([0.0, 0.0, 0.0], [0.3, ly, 0.6], dx)
+    state = state_lib.from_positions(
+        pos,
+        capacity=pos.shape[0],
+        mass=lattice_mass(3, h, dx, rest_density),
+        dtype=dtype,
+    )
+    bgrid = nb.binned_grid_from_bounds(
+        lo,
+        hi,
+        h=h,
+        cap=40,
+        skin_frac=skin_frac,
+        max_particles=state.capacity,
+        periodic=(False, True, False),
+    )
+    assert bgrid.dims[1] == ny, (bgrid.dims, ny)
+    return Scene(
+        name="dam_break_3d_periodic",
+        params=params,
+        gspec=grid_from_bounds(lo, hi, cell_size=h, cap=_default_cap(3, h, dx)),
+        bgrid=bgrid,
+        state=state,
+    )

@@ -412,7 +412,15 @@ def make_handler(app: App):
 
         def ep_users_list(self, qs):
             self._require_roles()  # admin only (no roles => admin bypass only)
-            self._send(200, {"users": app.users.list_users()})
+            # defaultPassword rides along so the admin UI can tell a user
+            # their temp password after a reset (ref server/index.js:206-208)
+            self._send(
+                200,
+                {
+                    "users": app.users.list_users(),
+                    "defaultPassword": app.users.temp_password,
+                },
+            )
 
         def ep_users_create(self, qs):
             self._require_roles()

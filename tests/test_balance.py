@@ -112,3 +112,51 @@ def test_16m_memory_budget():
     assert budget["fits"], budget
     # and the per-device share is comfortably under half of HBM
     assert budget["per_device_gb"] < 8.0, budget
+
+
+@pytest.mark.heavy
+def test_balanced_periodic_3d_matches_single_device(mesh):
+    """The r05 dryrun leg's mechanism at test scale: balanced particle
+    splits + ppermute halos + a periodic y axis composed in ONE run, 3
+    executed steps, owner-order parity vs the single-device periodic
+    engine (reference: solvers/wcsph_binned.py step's wrap_ghosts +
+    wall-axis masking)."""
+    from sph_pie_tpu.scenes import dam_break_3d_periodic
+
+    scene = dam_break_3d_periodic(20_000)
+    g = dataclasses.replace(scene.bgrid, symmetric_fold=False)
+    b0 = nb.bin_state(g, scene.state)
+
+    counts = np.asarray(jax.device_get(balance.cell_counts(g, b0)))
+    c_cap = max(3 * g.num_cells // N_DEV, nb.halo_cells(g) + 1)
+    starts = balance.balanced_splits(counts, N_DEV, c_cap)
+    bf = balance.balance_factor(counts, starts)
+    assert bf < 1.7, bf
+
+    init_fn, step_fn, finish_fn = balance.make_balanced_step(
+        mesh, scene.params, g, c_cap
+    )
+    bs = init_fn(b0, starts)
+    for _ in range(3):
+        bs = step_fn(bs)
+    b_bal = finish_fn(bs, b0)
+
+    b_ref = b0
+    for _ in range(3):
+        b_ref = wcsph_binned.step(scene.params, g, b_ref)
+
+    # owner order: ghost slots hold image copies, slot layout holds the
+    # authoritative interior rows that slot_of points at
+    s_bal = nb.unbin(g, b_bal, scene.state.capacity)
+    s_ref = nb.unbin(g, b_ref, scene.state.capacity)
+    a = np.asarray(s_ref.active)
+    assert a.sum() == int(scene.state.n_active())
+    np.testing.assert_allclose(
+        np.asarray(s_bal.pos)[a], np.asarray(s_ref.pos)[a], atol=5e-6
+    )
+    # the periodic seam actually carried interactions: some particles sit
+    # within h of both y edges
+    p = np.asarray(s_ref.pos)[a]
+    ly = g.dims[1] * g.cell_size
+    h = g.cell_size - g.skin
+    assert (p[:, 1] < h).any() and (p[:, 1] > ly - h).any()
