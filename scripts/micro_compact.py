@@ -20,8 +20,8 @@ center-slab window [C, 3cap->128] per field):
                  roll-ladder lane cumsum, then extracts pair k by a
                  one-hot lane reduction (k = 1..K) and evaluates poly6
                  only on the K compacted pairs — all in VMEM
-  xla_eval_floor pure-XLA poly6 over PRE-compacted [C, cap, K] pair
-                 values (built untimed via top_k) — the per-use floor a
+  xla_eval_floor pure-XLA poly6 over PRE-compacted [K, C*cap] pair
+                 values (built untimed via chunked top_k) — the per-use floor a
                  reusable compacted list could ever reach IF index
                  gathers were free (they are not: positions move every
                  step, so a reusable list must store indices, and each
@@ -182,32 +182,59 @@ def main():
     pallas_dense = jax.jit(lambda *a: dense(*a))
     pallas_compact = jax.jit(lambda *a: compact(*a))
 
-    # ---- evaluation floor: pre-compacted [Cp, cap, K] via top_k (untimed)
+    # ---- evaluation floor: pre-compacted pair values via top_k (untimed
+    # build).  Chunked with lax.map: the unchunked [Cp, cap, 128] top_k
+    # materialised 3x5.1 GB sort temps and OOMed 16 GB HBM.  Stored as
+    # [K, Cp*cap] — K on the sublane axis, the flat (cell, slot) index
+    # minor — so storage is unpadded (a [Cp, cap, K] layout pads the
+    # 32-lane minor dim to 128, a 4x blow-up) and the floor eval is a
+    # cheap sublane reduction.
+    CH = next(c for c in range(16, 0, -1) if Cp % c == 0)
+    rows = Cp // CH
+
     @jax.jit
     def build_compacted(hx, hy, hz, hm, wx, wy, wz, wm):
-        dx = wx[:, None, :] - hx[:, :, None]
-        dy = wy[:, None, :] - hy[:, :, None]
-        dz = wz[:, None, :] - hz[:, :, None]
-        r2 = dx * dx + dy * dy + dz * dz
-        mask = (r2 < h2) & (wm[:, None, :] > 0.0)
-        r2m = jnp.where(mask, r2, jnp.inf)
-        neg, idx = jax.lax.top_k(-r2m, K)          # K nearest per row
-        cr2 = -neg
-        cm = jnp.take_along_axis(
-            jnp.broadcast_to(wm[:, None, :], r2.shape), idx, axis=-1
+        def one(chunk):
+            chx, chy, chz, cwx, cwy, cwz, cwm = chunk
+            dx = cwx[:, None, :] - chx[:, :, None]
+            dy = cwy[:, None, :] - chy[:, :, None]
+            dz = cwz[:, None, :] - chz[:, :, None]
+            r2 = dx * dx + dy * dy + dz * dz
+            mask = (r2 < h2) & (cwm[:, None, :] > 0.0)
+            r2m = jnp.where(mask, r2, jnp.inf)
+            neg, idx = jax.lax.top_k(-r2m, K)      # K nearest per row
+            cr2 = -neg
+            cm = jnp.take_along_axis(
+                jnp.broadcast_to(cwm[:, None, :], r2.shape), idx, axis=-1
+            )
+            cm = jnp.where(jnp.isfinite(cr2), cm, 0.0)
+            cr2 = jnp.where(jnp.isfinite(cr2), cr2, 0.0)
+            nk = jnp.sum(mask, axis=-1)
+            return (
+                cr2.transpose(2, 0, 1).reshape(K, rows * cap),
+                cm.transpose(2, 0, 1).reshape(K, rows * cap),
+                jnp.sum(jnp.maximum(nk - K, 0)),
+                jnp.sum(nk > 0),
+                jnp.max(nk),
+            )
+
+        chunks = tuple(
+            a.reshape(CH, rows, a.shape[1])
+            for a in (hx, hy, hz, wx, wy, wz, wm)
         )
-        cm = jnp.where(jnp.isfinite(cr2), cm, 0.0)
-        cr2 = jnp.where(jnp.isfinite(cr2), cr2, 0.0)
-        nk = jnp.sum(mask, axis=-1)
-        novf = jnp.maximum(nk - K, 0)
-        return cr2, cm, jnp.sum(novf), jnp.sum(nk > 0), jnp.max(nk)
+        cr2c, cmc, ovf, nr, mx = jax.lax.map(one, chunks)
+        # [CH, K, rows*cap] -> [K, Cp*cap] preserving flat c*cap+s order
+        cr2f = cr2c.transpose(1, 0, 2).reshape(K, Cp * cap)
+        cmf = cmc.transpose(1, 0, 2).reshape(K, Cp * cap)
+        return cr2f, cmf, jnp.sum(ovf), jnp.sum(nr), jnp.max(mx)
 
     cr2, cm, overflow, nrows, max_nk = build_compacted(*inputs)
-    sync(cr2[0, 0, 0])
+    sync(cr2[0, 0])
 
     @jax.jit
     def xla_eval_floor(cr2, cm):
-        return jnp.sum(_poly6_term(h2, coeff, cr2) * cm, axis=-1)
+        w = _poly6_term(h2, coeff, cr2) * cm       # [K, Cp*cap]
+        return jnp.sum(w, axis=0).reshape(Cp, cap)
 
     # ---- correctness (valid home slots only)
     valid = np.asarray(b.valid).reshape(C, cap)
