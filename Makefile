@@ -8,25 +8,30 @@ PY ?= python
 check:
 	$(PY) -m pytest tests/ -x -q
 
-# The heavy tier (41 compile-heavy tests) does NOT fit one 10-minute
-# command on the 1-CPU mesh (VERDICT r03 #8). Run it as three serial
-# chunks, each < 10 min; `make check-heavy` runs them back-to-back (fine
-# without a per-command timeout; budget ~20 min total).
+# The heavy tier (compile-heavy tests) does NOT fit one 10-minute
+# command on the 1-CPU mesh (VERDICT r03 #8). Run it as four serial
+# chunks, each < 10 min (r05 measured: 5:43 / 6:21 / 7:52 / 5:55);
+# `make check-heavy` runs them back-to-back (fine without a per-command
+# timeout; budget ~30 min total).
 check-heavy-1:
-	$(PY) -m pytest tests/test_balance.py tests/test_bench_contract.py \
-	  tests/test_binned.py tests/test_calendar_frontend.py \
-	  tests/test_checkpoint_config.py tests/test_ghost_walls.py \
-	  tests/test_graft_entry.py -q -m heavy
+	$(PY) -m pytest tests/test_bench_contract.py \
+	  tests/test_binned.py tests/test_calendar_frontend.py -q -m heavy
 
 check-heavy-2:
 	$(PY) -m pytest tests/test_halo.py tests/test_pallas_pair.py \
 	  tests/test_pallas_sym.py tests/test_pbf.py -q -m heavy
 
 check-heavy-3:
-	$(PY) -m pytest tests/test_periodic.py tests/test_scenes.py \
-	  tests/test_sharding.py -q -m heavy
+	$(PY) -m pytest tests/test_balance.py tests/test_periodic.py \
+	  tests/test_scenes.py tests/test_sharding.py -q -m heavy
 
-check-heavy: check-heavy-1 check-heavy-2 check-heavy-3
+# chunk 4 carries the two dryrun_multichip subprocess tests (~5 min of
+# its ~7: each boots a fresh 8-virtual-device process and runs all legs)
+check-heavy-4:
+	$(PY) -m pytest tests/test_checkpoint_config.py \
+	  tests/test_ghost_walls.py tests/test_graft_entry.py -q -m heavy
+
+check-heavy: check-heavy-1 check-heavy-2 check-heavy-3 check-heavy-4
 
 # Slow contract tests (3): trajectory match vs the CPU oracle + PBF
 # quality bars. ~10-15 min on the 1-CPU mesh.
@@ -42,4 +47,4 @@ bench:
 	$(PY) bench.py
 
 .PHONY: check check-heavy check-heavy-1 check-heavy-2 check-heavy-3 \
-  check-slow check-all bench
+  check-heavy-4 check-slow check-all bench
